@@ -1,0 +1,348 @@
+package graft.classify
+
+import graft.core.Block
+
+/** The binarization family transplanted to block classification
+  * (SURVEY.md §2.3): each algorithm turns local window statistics of the
+  * block sequence into a content/boilerplate decision, exactly as the
+  * reference turns local pixel statistics into fg/bg.
+  *
+  * Signal: x_i = non-link chars of block i (nChars - nLinkChars) — the
+  * "intensity" axis. Content blocks are bright (hundreds of chars),
+  * boilerplate is dark (near zero: nav/footer text is link text).
+  *
+  * Shared ensemble masks (in-family: binarizeByLocalVariances ANDs several
+  * independent masks, binarizeByLocalVariances.cpp:136-139):
+  *  - threshold mask: x_i > max(t_i, absMin)  — absMin is the absolute floor
+  *    analogue of that algorithm's `minVariance` (binarizeByLocalVariances.h:8-12)
+  *  - link mask: linkDensity_i <= maxLinkDensity — blocks that are mostly
+  *    anchor text are never content
+  *
+  * Shared post-pass: morphological label smoothing (the dilate/erode
+  * post-pass of binarizeSauvola.cpp:125-134) — see [[Smoothing]].
+  */
+object Classifiers {
+
+  /** Config ADT; `kind` selects the threshold rule (one pipeline, many
+    * interchangeable strategies — the reference's design).
+    */
+  final case class Config(
+      kind: String = "sauvola",
+      window: Int = 63,
+      k: Double = 0.2,
+      r: Double = 128.0, // Sauvola dynamic range (binarizeSauvola.cpp:61)
+      c: Double = 10.0, // MEAN_C offset (binarizeAT/PureAdaptive families)
+      sigma: Double = 10.0, // gaussian window sigma
+      alpha1: Double = 0.75, // Feng (binarizeFeng.h:48-53)
+      k1: Double = 0.2,
+      k2: Double = 0.03,
+      gamma: Double = 2.0,
+      absMin: Double = 64.0, // min non-link chars for content (floor mask)
+      maxLinkDensity: Double = 0.66,
+      morphIters: Int = 2,
+      smoothing: String = "median", // "median" | "openclose"
+      maskedStats: Boolean = true, // backgroundNormalization transplant
+      strongLevel: Double = 200.0 // confidence band: see classify()
+  )
+
+  val Default: Config = Config()
+
+  /** Signal extraction: per-block intensity, SATURATED at 255 — the block
+    * sequence is mapped into the reference's own 8-bit intensity domain
+    * (CV_8UC1, formatConvert.cpp 8bpp paths; ScaleToRange
+    * imageLibCommon.cpp:782-820). Saturation is what makes Sauvola's R=128
+    * dynamic-range anchor meaningful here: content blocks (hundreds of
+    * non-link chars) all sit at 255 like paper-white, boilerplate sits near
+    * 0 like ink, and uniform-content windows behave exactly like
+    * uniform-background image windows (t = m(1-k) < m ⇒ all kept).
+    */
+  def signal(blocks: Array[Block]): Array[Double] = {
+    val x = new Array[Double](blocks.length)
+    var i = 0
+    while (i < blocks.length) {
+      x(i) = math.min(255.0, (blocks(i).nChars - blocks(i).nLinkChars).toDouble)
+      i += 1
+    }
+    x
+  }
+
+  def linkDensity(b: Block): Double =
+    if (b.nChars == 0) 0.0 else b.nLinkChars.toDouble / b.nChars
+
+  /** Per-block threshold t_i under the selected rule. Returns null for
+    * rules that are not per-block-threshold shaped (none currently).
+    */
+  def thresholds(x: Array[Double], cfg: Config): Array[Double] = {
+    val n = x.length
+    val t = new Array[Double](n)
+    if (n == 0) return t
+    val ws = new WindowStats(x)
+    // background-masked local stats (backgroundNormalization.cpp:36-61):
+    // zero-signal blocks are known background and excluded from window stats
+    def m_(i: Int, w: Int): Double =
+      if (cfg.maskedStats) ws.maskedMean(i, w) else ws.mean(i, w)
+    def s_(i: Int, w: Int): Double =
+      if (cfg.maskedStats) ws.maskedStd(i, w) else ws.std(i, w)
+    // auto window: binarizeNativeAdaptive derives blockSize from image
+    // diagonal (binarizeNativeAdaptive.cpp:89-96: diag/333 + 7 forced odd);
+    // we derive from block count: w = n/8*2+7 capped to cfg.window.
+    val w =
+      if (cfg.kind == "nativeadaptive") math.min(cfg.window, (n / 8) * 2 + 7)
+      else cfg.window
+    cfg.kind match {
+      case "sauvola" | "nativeadaptive" =>
+        // t = m * (1 + k*(s/R - 1))   (binarizeSauvola.cpp:115-118, R=128 :61)
+        var i = 0
+        while (i < n) {
+          val m = m_(i, w); val s = s_(i, w)
+          t(i) = m * (1.0 + cfg.k * (s / cfg.r - 1.0))
+          i += 1
+        }
+      case "niblack" =>
+        // t = m + k*s   (binarizeNiblack.cpp:107-112)
+        var i = 0
+        while (i < n) { t(i) = m_(i, w) + cfg.k * s_(i, w); i += 1 }
+      case "nick" =>
+        // t = m + k*sqrt(m^2 + s^2)   (binarizeNICK.cpp:114-131)
+        var i = 0
+        while (i < n) {
+          val m = m_(i, w); val s = s_(i, w)
+          t(i) = m + cfg.k * math.sqrt(m * m + s * s)
+          i += 1
+        }
+      case "wolfjolion" =>
+        // t = m + k*(s/sMax - 1)*(m - min)  with row-global sMax, min
+        // (binarizeWolfJolion.cpp:114-130)
+        val sMax = math.max(ws.globalMaxStd(w), 1e-9)
+        val mn = ws.globalMin
+        var i = 0
+        while (i < n) {
+          val m = m_(i, w); val s = s_(i, w)
+          t(i) = m + cfg.k * (s / sMax - 1.0) * (m - mn)
+          i += 1
+        }
+      case "feng" =>
+        // t = (1-a1)*m + a2*(s/Rs)*(m-min) + a3*min;
+        // a2 = k1*(s/Rs)^gamma, a3 = k2*(s/Rs)^gamma; Rs = window-local max std
+        // (binarizeFeng.cpp:110-142; Rs from the secondary larger window is
+        // simplified to the row-global max std)
+        val rs = math.max(ws.globalMaxStd(w), 1e-9)
+        val mn = ws.globalMin
+        var i = 0
+        while (i < n) {
+          val m = m_(i, w); val s = s_(i, w)
+          val sr = s / rs
+          val a2 = cfg.k1 * math.pow(sr, cfg.gamma)
+          val a3 = cfg.k2 * math.pow(sr, cfg.gamma)
+          t(i) = (1.0 - cfg.alpha1) * m + a2 * sr * (m - mn) + a3 * mn
+          i += 1
+        }
+      case "meanadaptive" =>
+        // adaptiveThreshold MEAN_C: t = windowMean - C
+        // (binarizePureAdaptive.cpp:33-62)
+        var i = 0
+        while (i < n) { t(i) = m_(i, w) - cfg.c; i += 1 }
+      case "gaussadaptive" =>
+        // GAUSSIAN_C (binarizePureAdaptiveGaussian.cpp:32-75)
+        var i = 0
+        while (i < n) { t(i) = ws.gaussMean(i, w, cfg.sigma) - cfg.c; i += 1 }
+      case "medianmean" =>
+        // binarizeAT: median-smooth the signal, then MEAN_C threshold
+        // (binarizeAT.cpp:33-68)
+        val sm = new Array[Double](n)
+        var i = 0
+        while (i < n) { sm(i) = ws.median(i, 5); i += 1 }
+        val ws2 = new WindowStats(sm)
+        i = 0
+        while (i < n) { t(i) = ws2.mean(i, w) - cfg.c; i += 1 }
+      case "mokji" =>
+        // global threshold from the (neighborhood-max, value) co-occurrence
+        // histogram (binarizeMokji.cpp:55-93): weighted mean of values on
+        // "edges" (pairs whose magnitude |max - x| >= minEdgeMagnitude).
+        val minEdgeMag = 20.0
+        var num = 0.0; var den = 0.0
+        var i = 0
+        while (i < n) {
+          val l = math.max(0, i - 1); val h = math.min(n - 1, i + 1)
+          var mx = x(l); var j = l + 1
+          while (j <= h) { if (x(j) > mx) mx = x(j); j += 1 }
+          val mag = mx - x(i)
+          if (mag >= minEdgeMag) { num += mx + x(i); den += 2.0 }
+          i += 1
+        }
+        // fallback mirrors binarizeMokji.cpp:87-90 (mid of range)
+        val thr = if (den > 0) num / den else (ws.globalMin + ws.globalMax) / 2.0
+        i = 0
+        while (i < n) { t(i) = thr; i += 1 }
+      case "otsu" =>
+        // per-row global Otsu over the signal histogram (the per-region Otsu
+        // of binarizeLocalOtsu.cpp:137-161 applied at document scope;
+        // histogram-mode machinery ≈ GetHistExtremums imageLibCommon.cpp:140-214)
+        val thr = Otsu.threshold(x, bins = 64)
+        var i = 0
+        while (i < n) { t(i) = thr; i += 1 }
+      case other =>
+        throw new IllegalArgumentException(s"unknown classifier kind: $other")
+    }
+    t
+  }
+
+  /** Full classification: threshold mask AND link mask, then CONFIDENCE-
+    * BANDED label smoothing. Smoothing may only override the decision of
+    * AMBIGUOUS blocks (absMin < x < strongLevel, link-admissible) — blocks
+    * with saturated signal are content with certainty and are never smoothed
+    * away; blocks below the floor or over the link limit are boilerplate
+    * with certainty and are never smoothed in. The banding is the ensemble-
+    * of-absolute-masks idea of binarizeByLocalVariances
+    * (binarizeByLocalVariances.cpp:53-57 `var > 10` absolute mask ANDed with
+    * relative masks :136-139) applied to the post-pass.
+    */
+  def classify(blocks: Array[Block], cfg: Config = Default): Array[Boolean] = {
+    val n = blocks.length
+    if (n == 0) return Array.empty
+    val x = signal(blocks)
+    val t = thresholds(x, cfg)
+    val keep = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      keep(i) = x(i) > math.max(t(i), cfg.absMin) &&
+        linkDensity(blocks(i)) <= cfg.maxLinkDensity
+      i += 1
+    }
+    val smoothed =
+      if (cfg.smoothing == "openclose") Smoothing(keep, cfg.morphIters)
+      else Smoothing.median(keep, cfg.morphIters)
+    val out = new Array[Boolean](n)
+    i = 0
+    while (i < n) {
+      val ambiguous = x(i) > cfg.absMin && x(i) < cfg.strongLevel &&
+        linkDensity(blocks(i)) <= cfg.maxLinkDensity
+      out(i) = if (ambiguous) smoothed(i) else keep(i)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Otsu threshold over a 1-D signal histogram: maximize between-class
+  * variance (binarizeLocalOtsu.cpp per-bbox THRESH_OTSU :137-161).
+  */
+object Otsu {
+  def threshold(x: Array[Double], bins: Int): Double = {
+    if (x.isEmpty) return 0.0
+    var mn = x(0); var mx = x(0)
+    var i = 1
+    while (i < x.length) { if (x(i) < mn) mn = x(i); if (x(i) > mx) mx = x(i); i += 1 }
+    if (mx <= mn) return mn
+    val hist = new Array[Long](bins)
+    val scale = bins / (mx - mn)
+    i = 0
+    while (i < x.length) {
+      var b = ((x(i) - mn) * scale).toInt
+      if (b >= bins) b = bins - 1
+      hist(b) += 1
+      i += 1
+    }
+    val total = x.length.toLong
+    var sumAll = 0.0
+    i = 0
+    while (i < bins) { sumAll += i * hist(i).toDouble; i += 1 }
+    var wB = 0L; var sumB = 0.0; var best = -1.0; var bestBin = 0
+    i = 0
+    while (i < bins) {
+      wB += hist(i)
+      if (wB != 0L && wB != total) {
+        sumB += i * hist(i).toDouble
+        val wF = total - wB
+        val mB = sumB / wB
+        val mF = (sumAll - sumB) / wF
+        val between = wB.toDouble * wF.toDouble * (mB - mF) * (mB - mF)
+        if (between > best) { best = between; bestBin = i }
+      } else if (wB != 0L) sumB += i * hist(i).toDouble
+      i += 1
+    }
+    mn + (bestBin + 0.5) / scale
+  }
+}
+
+/** Morphological label smoothing — the dilate+erode post-pass shared by the
+  * local-stats binarizers (binarizeSauvola.cpp:125-134 and identically in
+  * Niblack/NICK/WolfJolion/Feng). 1-D open-then-close on the keep labels:
+  * open kills content islands of length <= 2*iters (misclassified boilerplate
+  * bursts), close fills boilerplate gaps of length <= 2*iters inside content
+  * runs. Border handling = replicate (clamped neighbor), matching the
+  * reference's BORDER_REPLICATE padding.
+  *
+  * Iterations auto-scale down for short docs (nativeadaptive-style,
+  * binarizeNativeAdaptive.cpp:89-96): effIters = min(iters, (n-1)/8) so a
+  * 1-block document is never erased by its own smoothing.
+  */
+object Smoothing {
+
+  /** Default post-pass: iterated median-of-3 on the label sequence — the
+    * label-domain medianBlur (denoiseSaltPepper.cpp:29-36). Kills isolated
+    * single-block misclassifications and fills single-block gaps while
+    * preserving 2+-block runs; at block granularity this is the right
+    * strength (a 2-block erosion — the image default — would erase short
+    * legitimate articles; documented divergence from the reference's
+    * dilate+erode default, same family).
+    */
+  def median(labels: Array[Boolean], times: Int): Array[Boolean] = {
+    var cur = labels
+    var t = 0
+    while (t < times) {
+      val n = cur.length
+      if (n == 0) return cur
+      val out = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        val a = cur(math.max(0, i - 1)); val b = cur(i); val c = cur(math.min(n - 1, i + 1))
+        out(i) = (a && b) || (b && c) || (a && c)
+        i += 1
+      }
+      cur = out
+      t += 1
+    }
+    cur
+  }
+
+  def apply(labels: Array[Boolean], iters: Int): Array[Boolean] = {
+    val n = labels.length
+    val eff = math.min(iters, math.max(0, (n - 1) / 8))
+    if (eff <= 0 || n == 0) return labels
+    var cur = labels
+    // open: erode x eff, dilate x eff
+    var it = 0
+    while (it < eff) { cur = erode(cur); it += 1 }
+    it = 0
+    while (it < eff) { cur = dilate(cur); it += 1 }
+    // close: dilate x eff, erode x eff
+    it = 0
+    while (it < eff) { cur = dilate(cur); it += 1 }
+    it = 0
+    while (it < eff) { cur = erode(cur); it += 1 }
+    cur
+  }
+
+  private def dilate(l: Array[Boolean]): Array[Boolean] = {
+    val n = l.length
+    val out = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      out(i) = l(i) || l(math.max(0, i - 1)) || l(math.min(n - 1, i + 1))
+      i += 1
+    }
+    out
+  }
+
+  private def erode(l: Array[Boolean]): Array[Boolean] = {
+    val n = l.length
+    val out = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      out(i) = l(i) && l(math.max(0, i - 1)) && l(math.min(n - 1, i + 1))
+      i += 1
+    }
+    out
+  }
+}

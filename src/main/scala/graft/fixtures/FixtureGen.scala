@@ -1,0 +1,426 @@
+package graft.fixtures
+
+import graft.core.PageRow
+import java.nio.charset.{Charset, StandardCharsets}
+import java.sql.Timestamp
+import java.util.Random
+
+/** Deterministic synthetic page corpus + ground truth (FIXTURES.md).
+  *
+  * Mirrors the reference's curated per-operator inputs in `test_data/`
+  * (binarize/ 78 scans, auto_crop/ 16 photos, ...): each corpus class
+  * exercises one pipeline stage family. Every page is generated from a
+  * per-url RNG `seed XOR url.hashCode` (java.util.Random — algorithm is
+  * JDK-specified, stable across platforms), so generation is independent of
+  * partitioning and order (SURVEY.md §7 hard parts: determinism).
+  *
+  * Ground truth: the generator records the canonical text of every CONTENT
+  * block as it assembles the page; `expected` = those texts joined with \n.
+  * Content/chrome separation is engineered with hard margins so the default
+  * Sauvola classifier is provably on the right side of the threshold:
+  * content paragraphs have >= 300 non-link chars (saturating the 8-bit
+  * signal at 255), chrome blocks have <= 120.
+  */
+object FixtureGen {
+
+  final case class Fixture(page: PageRow, expected: String, corpus: String)
+
+  private val words = Array(
+    "lorem", "ipsum", "dolor", "amet", "consectetur", "adipiscing", "elit",
+    "vestibulum", "ante", "primis", "faucibus", "orci", "luctus", "ultrices",
+    "posuere", "cubilia", "curae", "mauris", "viverra", "tortor", "gravida",
+    "sodales", "quisque", "aliquam", "dapibus", "semper", "natoque",
+    "penatibus", "magnis", "montes", "nascetur", "ridiculus", "integer",
+    "feugiat", "scelerisque", "varius", "molestie", "pharetra", "blandit",
+    "tincidunt", "volutpat", "maecenas", "pulvinar", "lobortis", "egestas",
+    "fringilla", "phasellus", "vulputate", "sagittis", "rhoncus", "suspendisse",
+    "potenti", "fusce", "dignissim", "cursus", "euismod", "laoreet", "iaculis",
+    "placerat", "habitasse", "platea", "dictumst", "morbi", "tristique",
+    "senectus", "netus", "malesuada", "fames", "turpis", "ultricies",
+    "hendrerit", "imperdiet", "venenatis", "condimentum", "dictum", "sapien",
+    "sollicitudin", "commodo", "pretium", "bibendum")
+
+  private val navWords = Array(
+    "Home", "About", "Contact", "News", "Products", "Services", "Blog",
+    "Careers", "Support", "Privacy", "Terms", "Sitemap", "Login", "Register",
+    "Archive", "Categories", "Tags", "Search", "Help", "FAQ")
+
+  private val accented = Array("café", "naïve", "über", "señor", "déjà", "œuvre", "groß")
+
+  private def word(rng: Random): String = words(rng.nextInt(words.length))
+  private def navWord(rng: Random): String = navWords(rng.nextInt(navWords.length))
+
+  /** A sentence of k words, capitalized, period-terminated. */
+  private def sentence(rng: Random, k: Int, extraVocab: Array[String] = null): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < k) {
+      val w =
+        if (extraVocab != null && rng.nextInt(8) == 0)
+          extraVocab(rng.nextInt(extraVocab.length))
+        else word(rng)
+      if (i == 0) sb.append(w.substring(0, 1).toUpperCase(java.util.Locale.ROOT)).append(w.substring(1))
+      else sb.append(w)
+      if (i < k - 1) sb.append(' ')
+      i += 1
+    }
+    sb.append('.')
+    sb.toString
+  }
+
+  /** A content paragraph: plain canonical text with >= minChars chars.
+    * Returns the CANONICAL text (single spaces, trimmed) — this is the
+    * ground truth unit.
+    */
+  private def paragraph(rng: Random, minChars: Int, extraVocab: Array[String] = null): String = {
+    val sb = new StringBuilder
+    while (sb.length < minChars) {
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(sentence(rng, 8 + rng.nextInt(10), extraVocab))
+    }
+    sb.toString
+  }
+
+  /** Wrap canonical paragraph text in messy-but-equivalent html: random
+    * extra whitespace (collapsed by Canon), occasional inline markup and
+    * entity-encoded ampersands. The canonical form is preserved by
+    * construction.
+    */
+  private def messyHtml(rng: Random, canonical: String): String = {
+    val toks = canonical.split(' ')
+    val sb = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      if (i > 0) {
+        rng.nextInt(6) match {
+          case 0 => sb.append("  ")
+          case 1 => sb.append("\n  ")
+          case 2 => sb.append("\t")
+          case _ => sb.append(' ')
+        }
+      }
+      rng.nextInt(12) match {
+        case 0 => sb.append("<b>").append(toks(i)).append("</b>")
+        case 1 => sb.append("<em>").append(toks(i)).append("</em>")
+        case _ => sb.append(toks(i))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def navList(rng: Random, k: Int): String = {
+    val sb = new StringBuilder("<ul>")
+    var i = 0
+    while (i < k) {
+      sb.append("<li><a href=\"/").append(navWord(rng).toLowerCase(java.util.Locale.ROOT))
+        .append("\">").append(navWord(rng))
+      if (rng.nextInt(3) == 0) sb.append(' ').append(navWord(rng))
+      sb.append("</a></li>")
+      i += 1
+    }
+    sb.append("</ul>")
+    sb.toString
+  }
+
+  private def chromeTop(rng: Random): String = {
+    val sb = new StringBuilder
+    sb.append("<header><nav>").append(navList(rng, 5 + rng.nextInt(5))).append("</nav></header>")
+    if (rng.nextInt(2) == 0)
+      sb.append("<div class=\"cookie\">This site uses cookies to improve your experience. ")
+        .append("<a href=\"/privacy\">Learn more</a> <a href=\"#\">Accept</a></div>")
+    sb.toString
+  }
+
+  private def chromeBottom(rng: Random): String = {
+    val sb = new StringBuilder
+    if (rng.nextInt(2) == 0) {
+      // the teaser is ~100 non-link chars: ABOVE the absMin floor, so it
+      // exercises the adaptive threshold + median smoothing + boundary crop
+      // rather than the floor (autoCrop-style outside-the-quad clutter)
+      sb.append("<aside><h3>Related</h3><div class=\"teaser\">")
+        .append(sentence(rng, 14).take(110))
+        .append("</div>").append(navList(rng, 4 + rng.nextInt(4))).append("</aside>")
+    }
+    sb.append("<footer>").append(navList(rng, 4 + rng.nextInt(5)))
+      .append("<p>© 2024 Example Corp. All rights reserved.</p></footer>")
+    sb.toString
+  }
+
+  private def headline(rng: Random): String = {
+    // <= 60 chars: stays below any plausible threshold (chrome-class)
+    sentence(rng, 4 + rng.nextInt(3)).take(60)
+  }
+
+  // ---------------------------------------------------------------- corpora
+
+  /** clean: well-formed HTML5, UTF-8. */
+  private def genClean(rng: Random): (String, List[String]) = {
+    val nParas = 4 + rng.nextInt(12)
+    val paras = List.fill(nParas)(paragraph(rng, 300 + rng.nextInt(250)))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>Page</title>")
+    sb.append("<style>body{margin:0}</style><script>var x=1;</script></head><body>")
+    sb.append(chromeTop(rng))
+    sb.append("<main><article><h1>").append(headline(rng)).append("</h1>")
+    paras.foreach(p => sb.append("<p>").append(messyHtml(rng, p)).append("</p>"))
+    sb.append("</article></main>")
+    sb.append(chromeBottom(rng))
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  /** malformed: unclosed/misnested tags, stray closes, truncation. */
+  private def genMalformed(rng: Random): (String, List[String]) = {
+    val nParas = 4 + rng.nextInt(10)
+    val paras = List.fill(nParas)(paragraph(rng, 300 + rng.nextInt(200)))
+    val truncateAfter = if (rng.nextInt(3) == 0) 2 + rng.nextInt(math.max(1, nParas - 2)) else nParas
+    val sb = new StringBuilder
+    sb.append("<html><head><meta charset=utf-8><title>Bad</title><body>") // unclosed head
+    sb.append(chromeTop(rng))
+    sb.append("</div></div>") // stray closes
+    sb.append("<div class=main id=art>") // unquoted attrs
+    var i = 0
+    var emitted = 0
+    while (i < paras.length && emitted < truncateAfter) {
+      rng.nextInt(4) match {
+        case 0 => sb.append("<p>").append(messyHtml(rng, paras(i))) // unclosed <p>
+        case 1 => sb.append("<p><b>").append(messyHtml(rng, paras(i))).append("</p>") // unclosed <b>
+        case 2 => sb.append("<p><b><i>").append(messyHtml(rng, paras(i))).append("</b></i></p>") // misnested
+        case _ => sb.append("<p>").append(messyHtml(rng, paras(i))).append("</p>")
+      }
+      emitted += 1
+      i += 1
+    }
+    if (truncateAfter >= paras.length) {
+      sb.append("</div>").append(chromeBottom(rng)).append("</body></html>")
+    } // else: document truncated right after a paragraph close — rest lost
+    (sb.toString, paras.take(truncateAfter))
+  }
+
+  /** encodings: windows-1252, BOM, declared-vs-actual mismatch. The byte
+    * encoding happens in [[page]]; here we pick scenario + accent-bearing
+    * content and compute expected text per scenario.
+    */
+  private def genEncodings(rng: Random): (String, List[String], String) = {
+    val scenario = rng.nextInt(4) match {
+      case 0 => "utf8-bom"
+      case 1 => "cp1252-declared"
+      case 2 => "cp1252-undeclared"
+      case _ => "mismatch" // declares utf-8, bytes are cp1252
+    }
+    val nParas = 3 + rng.nextInt(8)
+    val paras = List.fill(nParas)(paragraph(rng, 300 + rng.nextInt(200), accented))
+    val declared = scenario match {
+      case "cp1252-declared" => "<meta charset=\"windows-1252\">"
+      case "mismatch" => "<meta charset=\"utf-8\">"
+      case "cp1252-undeclared" => ""
+      case _ => "<meta charset=\"utf-8\">"
+    }
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head>").append(declared).append("<title>Enc</title></head><body>")
+    sb.append(chromeTop(rng))
+    sb.append("<article><h1>").append(headline(rng)).append("</h1>")
+    // NOTE: no messyHtml inline markup here — keeps the byte-level expected
+    // computation exact; whitespace messiness is still exercised
+    paras.foreach(p => sb.append("<p>  ").append(p).append("\n</p>"))
+    sb.append("</article>").append(chromeBottom(rng)).append("</body></html>")
+    // expected per scenario: mismatch turns every non-ASCII char into one
+    // U+FFFD (each cp1252 high byte is a malformed UTF-8 unit of length 1)
+    val expParas =
+      if (scenario == "mismatch") paras.map(_.map(c => if (c < 128) c else '�'))
+      else paras
+    (sb.toString, expParas, scenario)
+  }
+
+  /** pdfish: absolute-positioned divs / layout tables, no semantic tags. */
+  private def genPdfish(rng: Random): (String, List[String]) = {
+    val nParas = 3 + rng.nextInt(10)
+    val paras = List.fill(nParas)(paragraph(rng, 320 + rng.nextInt(200)))
+    val sb = new StringBuilder
+    sb.append("<html><body>")
+    if (rng.nextInt(2) == 0) {
+      // absolute-position soup
+      var top = 10
+      paras.foreach { p =>
+        sb.append(s"""<div style="position:absolute;top:${top}px;left:40px">""")
+          .append(p).append("</div>")
+        top += 90 + rng.nextInt(40)
+      }
+    } else {
+      // layout table
+      sb.append("<table><tr><td>")
+      paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+      sb.append("</td></tr></table>")
+    }
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  /** linkfarm: boilerplate-dominated (nav >> content), inverted polarity. */
+  private def genLinkfarm(rng: Random): (String, List[String]) = {
+    val nParas = 2 + rng.nextInt(4)
+    val paras = List.fill(nParas)(paragraph(rng, 320 + rng.nextInt(150)))
+    val sb = new StringBuilder
+    sb.append("<html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<nav>").append(navList(rng, 20 + rng.nextInt(20))).append("</nav>")
+    sb.append(navList(rng, 15 + rng.nextInt(15)))
+    sb.append("<div>Sponsored</div>")
+    sb.append("<article>")
+    paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append(navList(rng, 15 + rng.nextInt(20)))
+    sb.append("<footer>").append(navList(rng, 10 + rng.nextInt(10))).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  /** artifacts: hr runs, separators, tracker imgs, empty anchors, share
+    * widgets at margins.
+    */
+  private def genArtifacts(rng: Random): (String, List[String]) = {
+    val nParas = 4 + rng.nextInt(8)
+    val paras = List.fill(nParas)(paragraph(rng, 300 + rng.nextInt(200)))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<div class=\"share\"><a href=\"#\">Share</a> <a href=\"#\">Tweet</a> <a href=\"#\">Pin</a></div>")
+    sb.append(chromeTop(rng))
+    sb.append("<img src=\"/tracker.gif\" width=\"1\" height=\"1\"><a href=\"/x\"></a>")
+    sb.append("<article>")
+    var i = 0
+    paras.foreach { p =>
+      sb.append("<p>").append(messyHtml(rng, p)).append("</p>")
+      if (i % 2 == 1) {
+        sb.append("<hr>")
+        sb.append("<div>----------------</div>")
+        if (rng.nextInt(2) == 0) sb.append("<div>· · · · ·</div>")
+      }
+      i += 1
+    }
+    sb.append("</article>")
+    sb.append("<div class=\"share\"><a href=\"#\">Share</a> <a href=\"#\">Tweet</a></div>")
+    sb.append(chromeBottom(rng))
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  /** edge: empty html, binary junk, 1-block docs, oversize docs. */
+  private def genEdge(rng: Random): (Array[Byte], List[String], String) = {
+    rng.nextInt(4) match {
+      case 0 => // empty
+        (Array.emptyByteArray, Nil, "empty")
+      case 1 => // binary junk: control-heavy bytes → garbage-gate quarantine
+        val junk = new Array[Byte](512 + rng.nextInt(1024))
+        var i = 0
+        while (i < junk.length) { junk(i) = (rng.nextInt(64)).toByte; i += 1 }
+        (junk, Nil, "junk")
+      case 2 => // 1-block doc
+        val p = paragraph(rng, 350)
+        val html = s"<html><body><p>$p</p></body></html>"
+        (html.getBytes(StandardCharsets.UTF_8), List(p), "oneblock")
+      case _ => // oversize: more paragraphs than the golden caps allow is
+        // impractical to assemble here; instead: very long single doc that
+        // stays under caps but stresses window clamping
+        val paras = List.fill(60)(paragraph(rng, 300))
+        val sb = new StringBuilder("<html><body><article>")
+        paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+        sb.append("</article></body></html>")
+        (sb.toString.getBytes(StandardCharsets.UTF_8), paras, "long")
+    }
+  }
+
+  // ---------------------------------------------------------------- driver
+
+  private val corpusNames = Array(
+    "clean", "clean", "clean", "clean", // 40%
+    "malformed", "malformed", // 20%
+    "encodings", // 10%
+    "pdfish", // 10%
+    "linkfarm", // 10%
+    "artifacts", // 10%
+  )
+
+  /** Zipf-skewed host id (a few hosts dominate → exercises salting). */
+  def hostOf(docId: Long): Int = {
+    val h = scramble(docId)
+    // p(host k) ∝ 1/(k+1): inverse-CDF over 50 hosts via harmonic buckets
+    val u = (h >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+    val hN = 4.4992053383294235 // H_50
+    var acc = 0.0
+    var k = 0
+    while (k < 50) {
+      acc += 1.0 / ((k + 1) * hN)
+      if (u < acc) return k
+      k += 1
+    }
+    49
+  }
+
+  private def scramble(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def urlOf(docId: Long): String =
+    s"https://host-${hostOf(docId)}.example/p/$docId"
+
+  /** Generate one fixture page. `seed` is the corpus seed (42 by default);
+    * per-page RNG = seed XOR url hash (per-row determinism).
+    */
+  def fixture(docId: Long, seed: Long = 42L): Fixture = {
+    val url = urlOf(docId)
+    val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(docId))
+    val corpus =
+      if (docId % 50 == 0) "edge" // 2%
+      else corpusNames(rng.nextInt(corpusNames.length))
+    val ts = new Timestamp(1700000000000L + (docId % 86400000L))
+    val cp1252: Charset = Charset.forName("windows-1252")
+
+    val (bytes, expectedParas) = corpus match {
+      case "clean" =>
+        val (html, paras) = genClean(rng)
+        (html.getBytes(StandardCharsets.UTF_8), paras)
+      case "malformed" =>
+        val (html, paras) = genMalformed(rng)
+        (html.getBytes(StandardCharsets.UTF_8), paras)
+      case "encodings" =>
+        val (html, expParas, scenario) = genEncodings(rng)
+        val b = scenario match {
+          case "utf8-bom" =>
+            val body = html.getBytes(StandardCharsets.UTF_8)
+            val out = new Array[Byte](body.length + 3)
+            out(0) = 0xef.toByte; out(1) = 0xbb.toByte; out(2) = 0xbf.toByte
+            System.arraycopy(body, 0, out, 3, body.length)
+            out
+          case "cp1252-declared" | "cp1252-undeclared" | "mismatch" =>
+            html.getBytes(cp1252)
+          case _ => html.getBytes(StandardCharsets.UTF_8)
+        }
+        (b, expParas)
+      case "pdfish" =>
+        val (html, paras) = genPdfish(rng)
+        (html.getBytes(StandardCharsets.UTF_8), paras)
+      case "linkfarm" =>
+        val (html, paras) = genLinkfarm(rng)
+        (html.getBytes(StandardCharsets.UTF_8), paras)
+      case "artifacts" =>
+        val (html, paras) = genArtifacts(rng)
+        (html.getBytes(StandardCharsets.UTF_8), paras)
+      case "edge" =>
+        val (b, paras, _) = genEdge(rng)
+        (b, paras)
+    }
+    val langs = Array("en", "en", "en", "de", "fr", "es")
+    val lang = langs(rng.nextInt(langs.length))
+    val sidecar = expectedParas.headOption.getOrElse("")
+    Fixture(
+      PageRow(url, ts, bytes, sidecar, lang),
+      expectedParas.mkString("\n"),
+      corpus)
+  }
+
+  def fixtures(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(fixture(_, seed))
+}

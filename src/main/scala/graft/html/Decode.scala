@@ -1,0 +1,141 @@
+package graft.html
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.nio.ByteBuffer
+
+/** Charset sniffing + decode of raw page bytes to a UTF-16 String.
+  *
+  * Transplant of the reference's lossless representation converters
+  * (formatConvert.cpp:38-109 opencv→leptonica and :111-219 back): a
+  * deterministic, fully-specified change of representation at the pipeline
+  * edge. Detection order is FIXED (byte-identity depends on it):
+  *
+  *   1. BOM: UTF-8 / UTF-16LE / UTF-16BE
+  *   2. `<meta charset=...>` / `<meta http-equiv content="...charset=...">`
+  *      within the first 1024 bytes (ASCII-superset scan)
+  *   3. strict whole-input UTF-8 validation
+  *   4. windows-1252 fallback (every byte decodes; WHATWG-style)
+  *
+  * Malformed sequences under a declared charset decode to U+FFFD (REPLACE) —
+  * never throw per-row (reference throws on bad input, binarizeSauvola.cpp:38-41;
+  * at 10^12 rows we quarantine instead, SURVEY.md §2.1).
+  */
+object Decode {
+
+  final case class Decoded(text: String, charset: String)
+
+  private val Win1252 = Charset.forName("windows-1252")
+
+  /** Charset label normalization (subset of the WHATWG encoding registry that
+    * our fixtures + common crawl pages realistically use). ISO-8859-1 is
+    * treated as windows-1252 per WHATWG.
+    */
+  private def resolveLabel(label: String): Option[Charset] = {
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+    l match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => Some(StandardCharsets.UTF_8)
+      case "iso-8859-1" | "latin1" | "latin-1" | "l1" | "iso8859-1" |
+          "iso_8859-1" | "windows-1252" | "cp1252" | "x-cp1252" | "ascii" |
+          "us-ascii" | "ansi_x3.4-1968" =>
+        Some(Win1252)
+      case "utf-16" | "utf-16le" => Some(StandardCharsets.UTF_16LE)
+      case "utf-16be" => Some(StandardCharsets.UTF_16BE)
+      case _ => None
+    }
+  }
+
+  /** Scan the ASCII-visible prefix for a meta-declared charset.
+    * Deterministic: first match wins, scan window = first 1024 bytes.
+    */
+  private[html] def sniffMeta(bytes: Array[Byte]): Option[String] = {
+    val n = math.min(bytes.length, 1024)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append((bytes(i) & 0xff).toChar); i += 1 }
+    val prefix = sb.toString.toLowerCase(java.util.Locale.ROOT)
+    // charset= appears in both <meta charset="..."> and content="...;charset=..."
+    val key = "charset="
+    var at = prefix.indexOf(key)
+    while (at >= 0) {
+      // must be inside a <meta ...> tag: nearest '<' before `at` starts "<meta"
+      val lt = prefix.lastIndexOf('<', at)
+      if (lt >= 0 && prefix.startsWith("<meta", lt) &&
+        prefix.indexOf('>', lt) > at) {
+        var s = at + key.length
+        if (s < prefix.length && (prefix.charAt(s) == '"' || prefix.charAt(s) == '\'')) s += 1
+        var e = s
+        while (e < prefix.length && isLabelChar(prefix.charAt(e))) e += 1
+        if (e > s) return Some(prefix.substring(s, e))
+      }
+      at = prefix.indexOf(key, at + 1)
+    }
+    None
+  }
+
+  private def isLabelChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '_' || c == '.' || c == ':'
+
+  /** Strict UTF-8 validation without decoding twice. */
+  def isValidUtf8(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) i += 1
+      else if (b < 0xc2) return false // continuation or overlong lead
+      else if (b < 0xe0) { // 2-byte
+        if (i + 1 >= n || (bytes(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (b < 0xf0) { // 3-byte
+        if (i + 2 >= n) return false
+        val b1 = bytes(i + 1) & 0xff; val b2 = bytes(i + 2) & 0xff
+        val lo = if (b == 0xe0) 0xa0 else 0x80
+        val hi = if (b == 0xed) 0x9f else 0xbf // exclude surrogates
+        if (b1 < lo || b1 > hi || (b2 & 0xc0) != 0x80) return false
+        i += 3
+      } else if (b < 0xf5) { // 4-byte
+        if (i + 3 >= n) return false
+        val b1 = bytes(i + 1) & 0xff
+        val lo = if (b == 0xf0) 0x90 else 0x80
+        val hi = if (b == 0xf4) 0x8f else 0xbf
+        if (b1 < lo || b1 > hi) return false
+        if ((bytes(i + 2) & 0xc0) != 0x80 || (bytes(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(ByteBuffer.wrap(bytes, offset, bytes.length - offset)).toString
+  }
+
+  /** Decode page bytes; returns decoded text + the charset label chosen. */
+  def apply(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.isEmpty) return Decoded("", "empty")
+    // 1. BOM
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return Decoded(decodeWith(bytes, 3, StandardCharsets.UTF_8), "utf-8-bom")
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      return Decoded(decodeWith(bytes, 2, StandardCharsets.UTF_16LE), "utf-16le-bom")
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      return Decoded(decodeWith(bytes, 2, StandardCharsets.UTF_16BE), "utf-16be-bom")
+    // 2. meta-declared
+    sniffMeta(bytes).flatMap(resolveLabel) match {
+      case Some(cs) =>
+        val label = if (cs eq Win1252) "windows-1252" else cs.name().toLowerCase(java.util.Locale.ROOT)
+        return Decoded(decodeWith(bytes, 0, cs), s"meta:$label")
+      case None => ()
+    }
+    // 3. UTF-8 validation
+    if (isValidUtf8(bytes))
+      return Decoded(new String(bytes, StandardCharsets.UTF_8), "utf-8")
+    // 4. fallback
+    Decoded(decodeWith(bytes, 0, Win1252), "windows-1252-fallback")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.core._
+import graft.html.{Decode, HtmlTokenizer}
+import graft.classify.Classifiers
+import graft.clean.Artifacts
+import graft.boundary.Boundary
+import graft.detect.Quality
+import graft.text.Canon
+
+/** The composed per-row extraction — the whole PRLib pipeline as one pure
+  * function (SURVEY.md §0 conceptual pipeline):
+  *
+  *   decode (formatConvert) → quality gates (detectors) → tokenize to blocks
+  *   (deskew/structural normalization) → classify (binarization family) →
+  *   artifact removal (removeLines/Dots/HolePunch, denoise) → boundary crop
+  *   (autoCrop/warpCrop) → assemble + fixpoint canonicalization (thinning).
+  *
+  * Stateless per document (the reference's one-Mat-in-one-Mat-out contract),
+  * which is exactly what makes it embarrassingly parallel on Spark.
+  */
+object Extract {
+
+  final case class Config(
+      classifier: Classifiers.Config = Classifiers.Default,
+      caps: HtmlTokenizer.Caps = HtmlTokenizer.DefaultCaps,
+      maxGarbageRatio: Double = 0.10,
+      boundaryCrop: Boolean = true,
+      blockSeparator: String = "\n"
+  )
+
+  val Default: Config = Config()
+
+  def apply(row: PageRow, cfg: Config = Default): ExtractedDoc = {
+    val htmlBytes = if (row.html == null) Array.emptyByteArray else row.html
+    // 1. decode (never throws; empty → quarantine, SURVEY.md §2.1 guards)
+    if (htmlBytes.isEmpty)
+      return quarantine(row.url, Status.EmptyHtml, htmlBytes.length, 0, "empty", 0.0)
+    val dec = Decode(htmlBytes)
+    val garbage = Quality.garbageRatio(dec.text)
+    if (garbage > cfg.maxGarbageRatio)
+      return quarantine(row.url, Status.Garbage, htmlBytes.length, dec.text.length,
+        dec.charset, garbage)
+    // 2. tokenize
+    val tok = HtmlTokenizer(dec.text, cfg.caps)
+    if (tok.blocks.isEmpty)
+      return quarantine(row.url, Status.NoBlocks, htmlBytes.length, dec.text.length,
+        dec.charset, garbage)
+    // 3. classify + 4. artifacts + 5. boundary
+    var labels = Classifiers.classify(tok.blocks, cfg.classifier)
+    labels = Artifacts.all(tok.blocks, labels)
+    if (cfg.boundaryCrop)
+      labels = Boundary(labels, Boundary.find(tok.blocks, labels))
+    // 6. assemble + fixpoint canonicalization
+    val (text, spans) = assemble(tok.blocks, labels, cfg.blockSeparator)
+    val kept = labels.count(identity)
+    ExtractedDoc(
+      url = row.url,
+      extracted_text = text,
+      spans = spans,
+      status = Status.Ok,
+      stats = DocStats(
+        nBlocks = tok.blocks.length,
+        nKept = kept,
+        htmlBytes = htmlBytes.length,
+        decodedChars = dec.text.length,
+        charset = dec.charset,
+        truncated = tok.truncated,
+        qualityScore = Quality.parseability(dec.text, tok.blocks),
+        garbageRatio = garbage))
+  }
+
+  /** Kept blocks → final text + spans. Span offsets are re-based ONLY in the
+    * sense of selection (the warpCrop offset-remapping analogue,
+    * warp.cpp:32-73): spans point into the decoded html, in document order.
+    * The joined text goes through one more Canon pass and MUST be a fixpoint
+    * (thinZhangSuen.cpp:90-98 loop-until-stable contract; asserted by
+    * property tests, not at runtime).
+    */
+  def assemble(
+      blocks: Array[Block],
+      labels: Array[Boolean],
+      sep: String): (String, Array[Span]) = {
+    val sb = new java.lang.StringBuilder(1024)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var i = 0
+    while (i < blocks.length) {
+      if (labels(i)) {
+        if (sb.length > 0) sb.append(sep)
+        sb.append(blocks(i).text)
+        spans += Span(blocks(i).startOff, blocks(i).endOff)
+      }
+      i += 1
+    }
+    (sb.toString, spans.toArray)
+  }
+
+  private def quarantine(
+      url: String, status: String, htmlBytes: Long, decodedChars: Int,
+      charset: String, garbage: Double): ExtractedDoc =
+    ExtractedDoc(url, "", Array.empty, status,
+      DocStats(0, 0, htmlBytes, decodedChars, charset, truncated = false,
+        qualityScore = 0.0, garbageRatio = garbage))
+
+  /** Idempotence check helper for tests: extraction output re-fed as a bare
+    * text page must extract to itself (modulo the html wrapper) — in
+    * practice we test `Canon(extracted) == extracted`.
+    */
+  def isCanonicalFixpoint(text: String): Boolean = {
+    // block separator \n is canonical-unstable under Canon (collapses to
+    // space), so the fixpoint contract is per-line
+    text.split('\n').forall(line => Canon(line) == line)
+  }
+}

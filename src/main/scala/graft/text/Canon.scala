@@ -1,0 +1,75 @@
+package graft.text
+
+import java.text.Normalizer
+
+/** Canonical text minimization — transplant of the thinning fixpoint
+  * (thinZhangSuen.cpp:57-108: iterate sub-passes until `absdiff(prev) == 0`).
+  * The contract we keep is the FIXPOINT: `canon(canon(x)) == canon(x)`
+  * (property-tested). One pass reaches the fixpoint by construction, but the
+  * pipeline asserts idempotence rather than assuming it.
+  *
+  * Spec (deterministic, locale-free):
+  *  - Unicode NFC first (so composed/decomposed inputs canonicalize equally)
+  *  - ZERO-WIDTH/STRIPPED: U+200B ZWSP, U+200C ZWNJ, U+200D ZWJ, U+FEFF,
+  *    U+00AD soft hyphen, U+2060 word joiner -> removed
+  *  - WHITESPACE: ASCII space, tab, LF, CR, FF, U+000B, U+0085, U+00A0 NBSP,
+  *    U+1680, U+2000-U+200A, U+2028, U+2029, U+202F, U+205F, U+3000 -> runs
+  *    collapse to one U+0020; leading/trailing run removed
+  *  - other C0/C1 control chars -> removed
+  */
+object Canon {
+
+  @inline def isStripped(c: Char): Boolean =
+    c == 0x200b || c == 0x200c || c == 0x200d || c == 0xfeff ||
+      c == 0x00ad || c == 0x2060
+
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == 0x000b || c == 0x0085 || c == 0x00a0 || c == 0x1680 ||
+      (c >= 0x2000 && c <= 0x200a) || c == 0x2028 || c == 0x2029 ||
+      c == 0x202f || c == 0x205f || c == 0x3000
+
+  @inline def isControl(c: Char): Boolean =
+    (c < ' ' && !isWs(c)) || c == 0x007f ||
+      (c >= 0x0080 && c <= 0x009f && !isWs(c))
+
+  /** One canonicalization pass (NFC + strip + collapse + trim). */
+  def apply(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    val nfc =
+      if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
+      else Normalizer.normalize(s, Normalizer.Form.NFC)
+    val n = nfc.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = nfc.charAt(i)
+      if (isWs(c)) pendingSpace = true
+      else if (isStripped(c) || isControl(c)) () // removed
+      else {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Token count under the canonical whitespace model. Canonical text has
+    * single-space separators, so tokens = spaces + 1 (0 for empty).
+    */
+  def tokenCount(canonical: String): Int = {
+    if (canonical.isEmpty) 0
+    else {
+      var spaces = 0
+      var i = 0
+      while (i < canonical.length) {
+        if (canonical.charAt(i) == ' ') spaces += 1
+        i += 1
+      }
+      spaces + 1
+    }
+  }
+}
