@@ -1,13 +1,93 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{Oracles, PipelineQueries, RelationalQueries => R}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2:
+  * oracle-checkable relational demonstrations over the testdata tables
+  * (paired DuckDB SQL in `oracleSql`) plus extraction-pipeline queries over
+  * the deterministic fixture corpus (rows-only; their correctness gate is
+  * the golden suite run by `sbt -batch test`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full extraction pipeline over the fixture corpus — the
+    * north-rule job in miniature (decode → tokenize → classify → assemble).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineQueries.qExtract(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 window statistics (integral-image analogue)
+    "q_window_stats" -> (R.qWindowStats _),
+    // §2.3 threshold classifier family
+    "q_sauvola" -> (R.qSauvola _),
+    "q_niblack" -> (R.qNiblack _),
+    "q_nick" -> (R.qNick _),
+    "q_wolfjolion" -> (R.qWolfJolion _),
+    "q_feng" -> (R.qFeng _),
+    "q_meanc" -> (R.qMeanAdaptive _),
+    "q_gaussadaptive" -> (R.qGaussAdaptive _),
+    "q_medianmean" -> (R.qMedianMean _),
+    "q_mokji" -> (R.qMokji _),
+    "q_otsu" -> (R.qOtsu _),
+    // §2.3 post-pass morphology / §2.5 denoise
+    "q_median_smooth" -> (R.qMedianSmooth _),
+    "q_dilate_erode" -> (R.qDilateErode _),
+    // §2.5 artifact removal
+    "q_remove_margins" -> (R.qRemoveMargins _),
+    "q_remove_repeats" -> (R.qRemoveRepeats _),
+    "q_tiny_isolated" -> (R.qTinyIsolated _),
+    // §2.1 photometric normalization
+    "q_gamma_lut" -> (R.qGammaLut _),
+    "q_white_balance" -> (R.qWhiteBalance _),
+    "q_gray_world" -> (R.qGrayWorld _),
+    "q_scale_range" -> (R.qScaleRange _),
+    "q_equalize_hist" -> (R.qEqualizeHist _),
+    "q_hist" -> (R.qHistogram _),
+    // §2.1/§2.6 canonicalization
+    "q_canon" -> (R.qCanon _),
+    // §2.7 detectors
+    "q_quality_scores" -> (R.qQualityScores _),
+    "q_lang_gate" -> (R.qLangGate _),
+    // §2.9 joins / aggregation / top-k
+    "q_golden_join" -> (R.qGoldenJoin _),
+    "q_anti_join" -> (R.qAntiJoin _),
+    "q_semi_join" -> (R.qSemiJoin _),
+    "q_lineage_agg" -> (R.qLineageAgg _),
+    "q_topk" -> (R.qTopK _),
+    "q_distinct_sources" -> (R.qDistinctSources _),
+    // training-pipeline: dedup
+    "q_dedup_exact" -> (R.qDedupExact _),
+    "q_minhash" -> (R.qMinHash _),
+    "q_ngram_jaccard" -> (R.qNgramJaccard _),
+    // training-pipeline: similarity / ANN
+    "q_embed_norm" -> (R.qEmbedNorm _),
+    "q_ann_topk" -> (R.qAnnTopK _),
+    "q_lsh_bucket" -> (R.qLshBucket _),
+    // events / time windows
+    "q_event_windows" -> (R.qEventWindows _),
+    // extraction pipeline (rows-only; golden suite is the byte gate)
+    "q_extract" -> (PipelineQueries.qExtract _),
+    "q_decode_charsets" -> (PipelineQueries.qDecodeCharsets _),
+    "q_quarantine" -> (PipelineQueries.qQuarantine _),
+    "q_blocks" -> (PipelineQueries.qBlocks _),
+    "q_boundary" -> (PipelineQueries.qBoundary _),
+    "q_resume_antijoin" -> (PipelineQueries.qResumeAntiJoin _),
+    "q_extract_niblack" -> (PipelineQueries.classifierVariant("niblack") _),
+    "q_extract_nick" -> (PipelineQueries.classifierVariant("nick") _),
+    "q_extract_wolfjolion" -> (PipelineQueries.classifierVariant("wolfjolion") _),
+    "q_extract_feng" -> (PipelineQueries.classifierVariant("feng") _),
+    "q_extract_meanadaptive" -> (PipelineQueries.classifierVariant("meanadaptive") _),
+    "q_extract_gaussadaptive" -> (PipelineQueries.classifierVariant("gaussadaptive") _),
+    "q_extract_medianmean" -> (PipelineQueries.classifierVariant("medianmean") _),
+    "q_extract_mokji" -> (PipelineQueries.classifierVariant("mokji") _),
+    "q_extract_otsu" -> (PipelineQueries.classifierVariant("otsu") _),
+    "q_extract_nativeadaptive" -> (PipelineQueries.classifierVariant("nativeadaptive") _)
+  )
+
+  /** DuckDB-runnable oracle SQL (only for the SQL-expressible queries). */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,363 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every query in [[RelationalQueries]] — the
+  * independent ground truth the driver executes against the same parquet
+  * tables. Formulas mirror the Spark side EXACTLY (same rounding, same
+  * tiebreaks, same border handling); see determinism rules in
+  * RelationalQueries' scaladoc.
+  */
+object Oracles {
+
+  private val win =
+    "WINDOW win AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)"
+
+  private val statsCte =
+    s"""WITH s1 AS (
+       |  SELECT doc_id, source, n_chars,
+       |         avg(n_chars) OVER win AS m,
+       |         coalesce(stddev_pop(n_chars) OVER win, 0) AS s
+       |  FROM documents $win
+       |)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q_window_stats" ->
+      s"""SELECT doc_id, round(avg(n_chars) OVER win, 4) AS wmean,
+         |       round(coalesce(stddev_pop(n_chars) OVER win, 0), 4) AS wstd
+         |FROM documents $win ORDER BY doc_id""".stripMargin,
+
+    "q_sauvola" ->
+      s"""$statsCte
+         |SELECT doc_id, thr, CASE WHEN n_chars > thr THEN 1 ELSE 0 END AS keep
+         |FROM (SELECT doc_id, n_chars, round(m * (1 + 0.2 * (s / 128.0 - 1)), 4) AS thr FROM s1)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_niblack" ->
+      s"""$statsCte
+         |SELECT doc_id, thr, CASE WHEN n_chars > thr THEN 1 ELSE 0 END AS keep
+         |FROM (SELECT doc_id, n_chars, round(m + 0.2 * s, 4) AS thr FROM s1)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_nick" ->
+      s"""$statsCte
+         |SELECT doc_id, thr, CASE WHEN n_chars > thr THEN 1 ELSE 0 END AS keep
+         |FROM (SELECT doc_id, n_chars, round(m - 0.1 * sqrt(m*m + s*s), 4) AS thr FROM s1)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_wolfjolion" ->
+      s"""$statsCte, s2 AS (
+         |  SELECT doc_id, m, s,
+         |         greatest(max(s) OVER (PARTITION BY source), 1e-9) AS smax,
+         |         min(n_chars) OVER (PARTITION BY source) AS mn
+         |  FROM s1)
+         |SELECT doc_id, round(m + 0.5 * (s / smax - 1) * (m - mn), 4) AS thr
+         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "q_feng" ->
+      s"""$statsCte, s2 AS (
+         |  SELECT doc_id, m, s,
+         |         greatest(max(s) OVER (PARTITION BY source), 1e-9) AS rs,
+         |         min(n_chars) OVER (PARTITION BY source) AS mn
+         |  FROM s1)
+         |SELECT doc_id,
+         |       round(0.25 * m + (0.2 * pow(s/rs, 2.0)) * (s/rs) * (m - mn)
+         |             + (0.03 * pow(s/rs, 2.0)) * mn, 4) AS thr
+         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "q_meanc" ->
+      s"""$statsCte
+         |SELECT doc_id, thr, CASE WHEN n_chars > thr THEN 1 ELSE 0 END AS keep
+         |FROM (SELECT doc_id, n_chars, round(m - 10.0, 4) AS thr FROM s1)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_gaussadaptive" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(lag(n_chars, 1) OVER w, n_chars) AS l1,
+        |    coalesce(lag(n_chars, 2) OVER w, n_chars) AS l2,
+        |    coalesce(lead(n_chars, 1) OVER w, n_chars) AS r1,
+        |    coalesce(lead(n_chars, 2) OVER w, n_chars) AS r2
+        |  FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+        |SELECT doc_id,
+        |       round(0.0545*(l2+r2) + 0.2442*(l1+r1) + 0.4026*n_chars - 10.0, 4) AS thr
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_medianmean" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, n_chars,
+        |    coalesce(lag(n_chars, 1) OVER w, n_chars) AS a,
+        |    coalesce(lead(n_chars, 1) OVER w, n_chars) AS c2
+        |  FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |m3 AS (
+        |  SELECT doc_id, source,
+        |         greatest(least(a, n_chars), least(greatest(a, n_chars), c2)) AS med3
+        |  FROM g)
+        |SELECT doc_id, med3,
+        |       round(avg(med3) OVER (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) - 10.0, 4) AS thr
+        |FROM m3 ORDER BY doc_id""".stripMargin,
+
+    "q_mokji" ->
+      """WITH nb AS (
+        |  SELECT source, n_chars,
+        |    greatest(coalesce(lag(n_chars) OVER w, n_chars), n_chars,
+        |             coalesce(lead(n_chars) OVER w, n_chars)) AS mx
+        |  FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |agg AS (
+        |  SELECT source,
+        |    cast(sum(CASE WHEN mx - n_chars >= 20 THEN mx + n_chars ELSE 0 END) AS BIGINT) AS num,
+        |    cast(sum(CASE WHEN mx - n_chars >= 20 THEN 2 ELSE 0 END) AS BIGINT) AS den
+        |  FROM nb GROUP BY source)
+        |SELECT source, round(coalesce(num / nullif(den, 0), -1.0), 4) AS thr
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q_otsu" ->
+      """WITH ext AS (
+        |  SELECT doc_id, source, n_chars,
+        |    min(n_chars) OVER (PARTITION BY source) AS mn,
+        |    max(n_chars) OVER (PARTITION BY source) AS mx
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    least(cast(floor((n_chars - mn) * 32.0 / greatest(mx - mn, 1)) AS INT), 31) AS bin
+        |  FROM ext),
+        |h AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, bin, c,
+        |    sum(c) OVER (PARTITION BY source) AS tot,
+        |    sum(bin * c) OVER (PARTITION BY source) AS sumAll,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bin) AS wB,
+        |    sum(bin * c) OVER (PARTITION BY source ORDER BY bin) AS sumB
+        |  FROM h),
+        |d AS (
+        |  SELECT source, bin,
+        |    wB, tot,
+        |    sumB * 1.0 / wB - (sumAll - sumB) * 1.0 / (tot - wB) AS diff
+        |  FROM t WHERE wB > 0 AND wB < tot),
+        |v AS (
+        |  SELECT source, bin, (wB * (tot - wB)) * (diff * diff) AS between_var
+        |  FROM d)
+        |SELECT source, bin AS otsu_bin FROM v
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY between_var DESC, bin ASC) = 1
+        |ORDER BY source""".stripMargin,
+
+    "q_median_smooth" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS lab
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lab,
+        |    coalesce(lag(lab) OVER w, lab) AS a,
+        |    coalesce(lead(lab) OVER w, lab) AS c2
+        |  FROM l WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+        |SELECT doc_id, lab,
+        |       greatest(least(a, lab), least(greatest(a, lab), c2)) AS sm
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_dilate_erode" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS lab
+        |  FROM documents)
+        |SELECT doc_id, lab,
+        |  max(lab) OVER w1 AS dil,
+        |  min(lab) OVER w1 AS ero
+        |FROM l WINDOW w1 AS (PARTITION BY source ORDER BY doc_id
+        |                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_remove_margins" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN (rn <= cnt * 0.1 OR rn > cnt - cnt * 0.1) AND n_chars < 150
+        |       THEN 1 ELSE 0 END AS dropped
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_remove_repeats" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, floor(n_chars / 50.0) AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, bucket,
+        |    CASE WHEN lag(bucket) OVER w IS NULL OR bucket != lag(bucket) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM b WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    sum(chg) OVER (PARTITION BY source ORDER BY doc_id) AS run_id
+        |  FROM c),
+        |rl AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY source, run_id) AS runlen
+        |  FROM r)
+        |SELECT doc_id, CASE WHEN runlen < 3 THEN 1 ELSE 0 END AS kept
+        |FROM rl ORDER BY doc_id""".stripMargin,
+
+    "q_tiny_isolated" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, CASE WHEN n_chars < 150 THEN 1 ELSE 0 END AS small
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, small,
+        |    coalesce(lag(small) OVER w, 0) AS ln,
+        |    coalesce(lead(small) OVER w, 0) AS rn2
+        |  FROM s WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN small = 1 AND ln = 0 AND rn2 = 0 THEN 1 ELSE 0 END AS dropped
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_gamma_lut" ->
+      """SELECT doc_id, round(pow(n_chars / 600.0, 2.2) * 255.0, 4) AS gamma_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_white_balance" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    quantile_cont(n_chars, 0.05) OVER (PARTITION BY source) AS p05,
+        |    quantile_cont(n_chars, 0.95) OVER (PARTITION BY source) AS p95
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((least(greatest(n_chars * 1.0, p05), p95) - p05) / (p95 - p05), 4) AS wb
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_gray_world" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    sqrt(avg(n_chars * n_chars) OVER (PARTITION BY source)) AS rms
+        |  FROM documents)
+        |SELECT doc_id, round(n_chars / rms, 4) AS gw FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_scale_range" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    min(n_chars) OVER (PARTITION BY source) AS mn,
+        |    max(n_chars) OVER (PARTITION BY source) AS mx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((n_chars - mn) / (greatest(mx - mn, 1) * 1.0), 4) AS scaled
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_equalize_hist" ->
+      """SELECT doc_id,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 4) AS rank_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_hist" ->
+      """SELECT source, cast(floor(n_chars / 50.0) AS INT) AS bucket, count(*) AS c
+        |FROM documents GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
+
+    "q_canon" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, len(string_split(canon, ' ')) AS n_tokens,
+        |       substring(canon, 1, 60) AS head
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_quality_scores" ->
+      """SELECT doc_id,
+        |  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / (length(text) * 1.0), 4) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) / (length(text) * 1.0), 4) AS digit_ratio,
+        |  round((length(text) - length(replace(text, ' ', ''))) / (length(text) * 1.0), 4) AS ws_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_gate" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY lang",
+
+    "q_golden_join" ->
+      """SELECT c.c_mktsegment AS seg, count(*) AS n,
+        |       min(o.o_orderkey) AS min_ok, max(o.o_orderkey) AS max_ok
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q_lineage_agg" ->
+      """SELECT source, count(*) AS doc_count, cast(sum(n_chars) AS BIGINT) AS chars,
+        |       min(doc_id) AS mn, max(doc_id) AS mx
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_topk" ->
+      """SELECT source, rn, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+
+    "q_distinct_sources" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS c, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q_minhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(md5(w || '#0')) AS m0, min(md5(w || '#1')) AS m1,
+        |    min(md5(w || '#2')) AS m2, min(md5(w || '#3')) AS m3
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, m0, m1, m2, m3,
+        |       substring(m0, 1, 4) || substring(m1, 1, 4) AS band
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id,
+        |  round(len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) * 1.0), 4) AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 AND a.source = b.source
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 3) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |s AS (
+        |  SELECT q.qid, e.vec_id, round(list_dot_product(q.qv, e.dv), 3) AS dot
+        |  FROM q CROSS JOIN e WHERE e.vec_id != q.qid)
+        |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rn,
+        |       vec_id, dot
+        |FROM s
+        |QUALIFY rn <= 3
+        |ORDER BY qid, rn""".stripMargin,
+
+    "q_lsh_bucket" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id,
+        |    round(sum(v * ((pos * 37) % 13 - 6)), 3) AS d0,
+        |    round(sum(v * ((pos * 37 + 17) % 13 - 6)), 3) AS d1
+        |  FROM x GROUP BY vec_id)
+        |SELECT vec_id,
+        |  (CASE WHEN d0 > 0 THEN 2 ELSE 0 END) + (CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS bucket
+        |FROM d ORDER BY vec_id""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT event_type, cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin
+  )
+}

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Oracle-checkable operator-demonstration queries (SURVEY.md §2 inventory).
+  *
+  * Each query expresses one transplanted reference operator as a relational
+  * query over the driver's testdata tables (`documents` standing in for the
+  * block sequence: PARTITION BY source ORDER BY doc_id is the in-document
+  * block order; `n_chars` is the signal). The paired DuckDB SQL in
+  * [[oracles]] is the independent ground truth for the driver's
+  * CORRECTNESS gate.
+  *
+  * Determinism rules (hash-compare survives engine differences):
+  *  - every float output rounded (4 dp; dot products 3 dp);
+  *  - thresholds compared AFTER rounding so keep-flags agree;
+  *  - every query globally ordered by a unique key;
+  *  - sums restricted to integers (exact in double) where totals matter.
+  */
+object RelationalQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // shared window: the "block sequence" ±5 (integral-image scaffold §2.2)
+  private val seqW = Window.partitionBy("source").orderBy("doc_id")
+  private val winW = seqW.rowsBetween(-5, 5)
+  private val srcW = Window.partitionBy("source")
+
+  private def withStats(d: DataFrame): DataFrame =
+    d.withColumn("m", avg($c("n_chars")).over(winW))
+      .withColumn("s", coalesce(stddev_pop($c("n_chars")).over(winW), lit(0.0)))
+  private def $c(n: String) = col(n)
+
+  // ---------------------------------------------------------- §2.2 windows
+
+  def qWindowStats(spark: SparkSession, dir: String): DataFrame =
+    withStats(docs(spark, dir))
+      .select($c("doc_id"), round($c("m"), 4).as("wmean"), round($c("s"), 4).as("wstd"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------- §2.3 classifier family
+
+  def qSauvola(spark: SparkSession, dir: String): DataFrame =
+    withStats(docs(spark, dir))
+      .withColumn("thr", round($c("m") * (lit(1.0) + lit(0.2) * ($c("s") / lit(128.0) - lit(1.0))), 4))
+      .select($c("doc_id"), $c("thr"),
+        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+
+  def qNiblack(spark: SparkSession, dir: String): DataFrame =
+    withStats(docs(spark, dir))
+      .withColumn("thr", round($c("m") + lit(0.2) * $c("s"), 4))
+      .select($c("doc_id"), $c("thr"),
+        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+
+  def qNick(spark: SparkSession, dir: String): DataFrame =
+    withStats(docs(spark, dir))
+      .withColumn("thr", round($c("m") - lit(0.1) * sqrt($c("m") * $c("m") + $c("s") * $c("s")), 4))
+      .select($c("doc_id"), $c("thr"),
+        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+
+  def qWolfJolion(spark: SparkSession, dir: String): DataFrame =
+    withStats(docs(spark, dir))
+      .withColumn("smax", greatest(max($c("s")).over(srcW), lit(1e-9)))
+      .withColumn("mn", min($c("n_chars")).over(srcW))
+      .withColumn("thr", round($c("m") + lit(0.5) * ($c("s") / $c("smax") - lit(1.0)) * ($c("m") - $c("mn")), 4))
+      .select($c("doc_id"), $c("thr"))
+      .orderBy("doc_id")
+
+  def qFeng(spark: SparkSession, dir: String): DataFrame = {
+    val d = withStats(docs(spark, dir))
+      .withColumn("rs", greatest(max($c("s")).over(srcW), lit(1e-9)))
+      .withColumn("mn", min($c("n_chars")).over(srcW))
+      .withColumn("sr", $c("s") / $c("rs"))
+      .withColumn("a2", lit(0.2) * pow($c("sr"), 2.0))
+      .withColumn("a3", lit(0.03) * pow($c("sr"), 2.0))
+    d.withColumn("thr",
+      round(lit(0.25) * $c("m") + $c("a2") * $c("sr") * ($c("m") - $c("mn")) + $c("a3") * $c("mn"), 4))
+      .select($c("doc_id"), $c("thr"))
+      .orderBy("doc_id")
+  }
+
+  def qMeanAdaptive(spark: SparkSession, dir: String): DataFrame =
+    withStats(docs(spark, dir))
+      .withColumn("thr", round($c("m") - lit(10.0), 4))
+      .select($c("doc_id"), $c("thr"),
+        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+
+  def qGaussAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    // 5-tap gaussian [.0545,.2442,.4026,.2442,.0545], border-replicate
+    val d = docs(spark, dir)
+      .withColumn("l1", coalesce(lag($c("n_chars"), 1).over(seqW), $c("n_chars")))
+      .withColumn("l2", coalesce(lag($c("n_chars"), 2).over(seqW), $c("n_chars")))
+      .withColumn("r1", coalesce(lead($c("n_chars"), 1).over(seqW), $c("n_chars")))
+      .withColumn("r2", coalesce(lead($c("n_chars"), 2).over(seqW), $c("n_chars")))
+    d.withColumn("gm",
+      lit(0.0545) * ($c("l2") + $c("r2")) + lit(0.2442) * ($c("l1") + $c("r1")) + lit(0.4026) * $c("n_chars"))
+      .withColumn("thr", round($c("gm") - lit(10.0), 4))
+      .select($c("doc_id"), $c("thr"))
+      .orderBy("doc_id")
+  }
+
+  def qMedianMean(spark: SparkSession, dir: String): DataFrame = {
+    // median-of-3 signal smoothing (binarizeAT medianBlur), then MEAN_C
+    val d = docs(spark, dir)
+      .withColumn("a", coalesce(lag($c("n_chars"), 1).over(seqW), $c("n_chars")))
+      .withColumn("c2", coalesce(lead($c("n_chars"), 1).over(seqW), $c("n_chars")))
+      .withColumn("med3", greatest(least($c("a"), $c("n_chars")),
+        least(greatest($c("a"), $c("n_chars")), $c("c2"))))
+    d.withColumn("mm", avg($c("med3")).over(winW))
+      .withColumn("thr", round($c("mm") - lit(10.0), 4))
+      .select($c("doc_id"), $c("med3"), $c("thr"))
+      .orderBy("doc_id")
+  }
+
+  def qMokji(spark: SparkSession, dir: String): DataFrame = {
+    // per-source global threshold from (neighbor-max, value) co-occurrence
+    val d = docs(spark, dir)
+      .withColumn("mx", greatest(
+        coalesce(lag($c("n_chars"), 1).over(seqW), $c("n_chars")),
+        $c("n_chars"),
+        coalesce(lead($c("n_chars"), 1).over(seqW), $c("n_chars"))))
+    d.groupBy($c("source"))
+      .agg(
+        sum(when($c("mx") - $c("n_chars") >= 20, $c("mx") + $c("n_chars")).otherwise(0)).as("num"),
+        (sum(when($c("mx") - $c("n_chars") >= 20, 2).otherwise(0))).as("den"))
+      .select($c("source"), round(coalesce(
+        $c("num") / when($c("den") === 0, lit(null)).otherwise($c("den")), lit(-1.0)), 4).as("thr"))
+      .orderBy("source")
+  }
+
+  def qOtsu(spark: SparkSession, dir: String): DataFrame = {
+    // per-source Otsu over a 32-bin histogram (binarizeLocalOtsu per-region
+    // THRESH_OTSU, here region = source group)
+    val d = docs(spark, dir)
+      .withColumn("mn", min($c("n_chars")).over(srcW))
+      .withColumn("mx", max($c("n_chars")).over(srcW))
+      .withColumn("bin", least(
+        floor(($c("n_chars") - $c("mn")) * lit(32.0) / greatest($c("mx") - $c("mn"), lit(1))).cast("int"),
+        lit(31)))
+    val h = d.groupBy($c("source"), $c("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum($c("c")).over(srcW))
+      .withColumn("sumAll", sum($c("bin") * $c("c")).over(srcW))
+    val binW = Window.partitionBy("source").orderBy("bin")
+    val cum = h
+      .withColumn("wB", sum($c("c")).over(binW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("sumB", sum($c("bin") * $c("c")).over(binW.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($c("wB") > 0 && $c("wB") < $c("tot"))
+      .withColumn("diff",
+        $c("sumB") * lit(1.0) / $c("wB") -
+          ($c("sumAll") - $c("sumB")) * lit(1.0) / ($c("tot") - $c("wB")))
+      // association pinned to (wB*(tot-wB)) * (diff*diff) — must match oracle
+      .withColumn("between", ($c("wB") * ($c("tot") - $c("wB"))) * ($c("diff") * $c("diff")))
+    val pick = Window.partitionBy("source").orderBy(desc("between"), asc("bin"))
+    cum.withColumn("rn", row_number().over(pick))
+      .filter($c("rn") === 1)
+      .select($c("source"), $c("bin").as("otsu_bin"))
+      .orderBy("source")
+  }
+
+  // --------------------------------------------- §2.3 post-pass / smoothing
+
+  def qMedianSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("lab", when($c("n_chars") > 300, 1).otherwise(0))
+      .withColumn("a", coalesce(lag($c("lab"), 1).over(seqW), $c("lab")))
+      .withColumn("c2", coalesce(lead($c("lab"), 1).over(seqW), $c("lab")))
+    d.withColumn("sm", greatest(least($c("a"), $c("lab")),
+      least(greatest($c("a"), $c("lab")), $c("c2"))))
+      .select($c("doc_id"), $c("lab"), $c("sm"))
+      .orderBy("doc_id")
+  }
+
+  def qDilateErode(spark: SparkSession, dir: String): DataFrame = {
+    val w1 = seqW.rowsBetween(-1, 1)
+    docs(spark, dir)
+      .withColumn("lab", when($c("n_chars") > 300, 1).otherwise(0))
+      .withColumn("dil", max($c("lab")).over(w1))
+      .withColumn("ero", min($c("lab")).over(w1))
+      .select($c("doc_id"), $c("lab"), $c("dil"), $c("ero"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ §2.5 artifacts
+
+  def qRemoveMargins(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(seqW))
+      .withColumn("cnt", count(lit(1)).over(srcW))
+      .withColumn("dropped",
+        when((($c("rn") <= $c("cnt") * 0.1) || ($c("rn") > $c("cnt") - $c("cnt") * 0.1)) &&
+          $c("n_chars") < 150, 1).otherwise(0))
+      .select($c("doc_id"), $c("dropped"))
+      .orderBy("doc_id")
+
+  def qRemoveRepeats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("bucket", floor($c("n_chars") / lit(50.0)))
+      .withColumn("chg",
+        when(lag($c("bucket"), 1).over(seqW).isNull ||
+          $c("bucket") =!= lag($c("bucket"), 1).over(seqW), 1).otherwise(0))
+      .withColumn("run_id", sum($c("chg")).over(seqW.rowsBetween(Window.unboundedPreceding, 0)))
+    d.withColumn("runlen", count(lit(1)).over(Window.partitionBy("source", "run_id")))
+      .withColumn("kept", when($c("runlen") < 3, 1).otherwise(0))
+      .select($c("doc_id"), $c("kept"))
+      .orderBy("doc_id")
+  }
+
+  def qTinyIsolated(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("small", when($c("n_chars") < 150, 1).otherwise(0))
+      .withColumn("ln", coalesce(lag($c("small"), 1).over(seqW), lit(0)))
+      .withColumn("rn2", coalesce(lead($c("small"), 1).over(seqW), lit(0)))
+      .withColumn("dropped",
+        when($c("small") === 1 && $c("ln") === 0 && $c("rn2") === 0, 1).otherwise(0))
+      .select($c("doc_id"), $c("dropped"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------- §2.1 photometric
+
+  def qGammaLut(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($c("doc_id"),
+        round(pow($c("n_chars") / lit(600.0), 2.2) * lit(255.0), 4).as("gamma_out"))
+      .orderBy("doc_id")
+
+  def qWhiteBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("p05", expr("percentile(n_chars, 0.05)").over(srcW))
+      .withColumn("p95", expr("percentile(n_chars, 0.95)").over(srcW))
+    d.withColumn("clipped", least(greatest($c("n_chars").cast("double"), $c("p05")), $c("p95")))
+      .select($c("doc_id"),
+        round(($c("clipped") - $c("p05")) / ($c("p95") - $c("p05")), 4).as("wb"))
+      .orderBy("doc_id")
+  }
+
+  def qGrayWorld(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("rms", sqrt(avg($c("n_chars") * $c("n_chars")).over(srcW)))
+    d.select($c("doc_id"), round($c("n_chars") / $c("rms"), 4).as("gw"))
+      .orderBy("doc_id")
+  }
+
+  def qScaleRange(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("mn", min($c("n_chars")).over(srcW))
+      .withColumn("mx", max($c("n_chars")).over(srcW))
+      .select($c("doc_id"),
+        round(($c("n_chars") - $c("mn")) / greatest($c("mx") - $c("mn"), lit(1)).cast("double"), 4).as("scaled"))
+      .orderBy("doc_id")
+
+  def qEqualizeHist(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("source").orderBy($c("n_chars"), $c("doc_id"))))
+      .select($c("doc_id"), round($c("pr"), 4).as("rank_norm"))
+      .orderBy("doc_id")
+
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", floor($c("n_chars") / lit(50.0)).cast("int"))
+      .groupBy($c("source"), $c("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("source", "bucket")
+
+  // -------------------------------------------------- §2.1/§2.6 text canon
+
+  def qCanon(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("canon", trim(regexp_replace($c("text"), "[ \\t\\n\\r]+", " ")))
+      .select($c("doc_id"),
+        size(split($c("canon"), " ")).as("n_tokens"),
+        substring($c("canon"), 1, 60).as("head"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------- §2.7 detectors
+
+  def qQualityScores(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("len", length($c("text")).cast("double"))
+      .select($c("doc_id"),
+        round(length(regexp_replace($c("text"), "[^.,!?;:]", "")) / $c("len"), 4).as("punct_ratio"),
+        round(length(regexp_replace($c("text"), "[^0-9]", "")) / $c("len"), 4).as("digit_ratio"),
+        round((($c("len") - length(regexp_replace($c("text"), " ", "")))) / $c("len"), 4).as("ws_ratio"))
+      .orderBy("doc_id")
+
+  def qLangGate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy($c("lang")).agg(count(lit(1)).as("n")).orderBy("lang")
+
+  // ------------------------------------------------ §2.9 joins / agg / topk
+
+  def qGoldenJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($c("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), min($c("o_orderkey")).as("min_ok"), max($c("o_orderkey")).as("max_ok"))
+      .orderBy("seg")
+  }
+
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($c("c_custkey")).orderBy("c_custkey")
+  }
+
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy($c("c_mktsegment").as("seg")).agg(count(lit(1)).as("n"))
+      .orderBy("seg")
+  }
+
+  def qLineageAgg(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy($c("source"))
+      .agg(count(lit(1)).as("doc_count"), sum($c("n_chars")).as("chars"),
+        min($c("doc_id")).as("mn"), max($c("doc_id")).as("mx"))
+      .orderBy("source")
+
+  def qTopK(spark: SparkSession, dir: String): DataFrame = {
+    val pick = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(pick))
+      .filter($c("rn") <= 3)
+      .select($c("source"), $c("rn"), $c("doc_id"), $c("n_chars"))
+      .orderBy("source", "rn")
+  }
+
+  def qDistinctSources(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy($c("lang"))
+      .agg(countDistinct($c("source")).as("n_sources"))
+      .orderBy("lang")
+
+  // --------------------------------------------- training-pipeline: dedup
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($c("doc_id"), md5($c("text").cast("binary")).as("h"))
+      .groupBy($c("h"))
+      .agg(count(lit(1)).as("c"), min($c("doc_id")).as("keeper"))
+      .orderBy("h")
+
+  def qMinHash(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select($c("doc_id"), explode(array_distinct(split($c("text"), " "))).as("w"))
+    words.groupBy($c("doc_id"))
+      .agg(
+        min(md5(concat($c("w"), lit("#0")).cast("binary"))).as("m0"),
+        min(md5(concat($c("w"), lit("#1")).cast("binary"))).as("m1"),
+        min(md5(concat($c("w"), lit("#2")).cast("binary"))).as("m2"),
+        min(md5(concat($c("w"), lit("#3")).cast("binary"))).as("m3"))
+      .withColumn("band", concat(substring($c("m0"), 1, 4), substring($c("m1"), 1, 4)))
+      .orderBy("doc_id")
+  }
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select($c("doc_id"), $c("source"), array_distinct(split($c("text"), " ")).as("toks"))
+    val d2 = d.select($c("doc_id").as("doc_id2"), $c("source").as("source2"), $c("toks").as("toks2"))
+    d.join(d2, d("doc_id") + 1 === d2("doc_id2") && d("source") === d2("source2"))
+      .withColumn("i", size(array_intersect($c("toks"), $c("toks2"))).cast("double"))
+      .withColumn("u", (size($c("toks")) + size($c("toks2"))).cast("double") - $c("i"))
+      .select($c("doc_id"), round($c("i") / $c("u"), 4).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------- training-pipeline: similarity/ANN
+
+  def qEmbedNorm(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("dv", $c("embedding").cast("array<double>"))
+      .select($c("vec_id"),
+        round(sqrt(aggregate($c("dv"), lit(0.0), (acc, v) => acc + v * v)), 3).as("l2"))
+      .orderBy("vec_id")
+
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("dv", $c("embedding").cast("array<double>"))
+      .select($c("vec_id"), $c("dv"))
+    val q = e.filter($c("vec_id") % 50 === 0)
+      .select($c("vec_id").as("qid"), $c("dv").as("qv"))
+    val scored = q.join(e, e("vec_id") =!= q("qid"))
+      .withColumn("dot", round(aggregate(zip_with($c("qv"), $c("dv"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v), 3))
+    val pick = Window.partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter($c("rn") <= 3)
+      .select($c("qid"), $c("rn"), $c("vec_id"), $c("dot"))
+      .orderBy("qid", "rn")
+  }
+
+  def qLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    // 2 fixed pseudo-random hyperplanes: w(i,j) = ((i*37 + j*17) % 13) - 6
+    val e = emb(spark, dir)
+      .select($c("vec_id"), posexplode($c("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .withColumn("w0", (($c("pos") * 37) % 13 - 6).cast("double"))
+      .withColumn("w1", (($c("pos") * 37 + 17) % 13 - 6).cast("double"))
+    e.groupBy($c("vec_id"))
+      .agg(round(sum($c("v") * $c("w0")), 3).as("d0"), round(sum($c("v") * $c("w1")), 3).as("d1"))
+      .select($c("vec_id"),
+        (when($c("d0") > 0, 2).otherwise(0) + when($c("d1") > 0, 1).otherwise(0)).as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------ events (time windows)
+
+  def qEventWindows(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("hour_bucket", floor(unix_timestamp($c("ts")) / 3600).cast("long"))
+      .groupBy($c("event_type"), $c("hour_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum($c("value")), 2).as("sum_value"))
+      .orderBy("event_type", "hour_bucket")
+}

@@ -1,0 +1,80 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.CollectionAccumulator
+import org.apache.spark.TaskContext
+import graft.core._
+import graft.pipeline.Extract
+
+/** The distributed extraction job — SURVEY.md §4.3 physical plan:
+  * scan → per-partition fused pipeline (zero shuffles) → write.
+  *
+  * The whole PRLib pipeline is one narrow `mapPartitions`: no shuffle, no
+  * aggregation, no driver round-trip. Per-partition lineage rows (doc/byte
+  * counts, stage timings) are collected through an accumulator and committed
+  * with the snapshot (BASELINE.json north_rule).
+  *
+  * Scale posture:
+  *  - per-row cost caps inside Extract (resize analogue) bound task memory;
+  *  - per-row purity ⇒ partition order/count never changes results;
+  *  - poison rows route to quarantine status, never fail the task.
+  */
+object ExtractJob {
+
+  final case class Timings(
+      var decodeNs: Long = 0L,
+      var tokenizeNs: Long = 0L,
+      var classifyNs: Long = 0L,
+      var assembleNs: Long = 0L)
+
+  /** Narrow transform: pages → extracted docs, lineage via accumulator.
+    * The accumulator is populated on ACTION (materialize docs first, then
+    * read lineage).
+    */
+  def extract(
+      pages: Dataset[PageRow],
+      cfg: Extract.Config = Extract.Default,
+      runId: String = "run",
+      lineageAcc: CollectionAccumulator[LineageRow] = null): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val acc = lineageAcc
+    pages.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      var docCount = 0L
+      var htmlBytes = 0L
+      var textBytes = 0L
+      var quarantined = 0L
+      val t0 = System.nanoTime()
+      val out = rows.map { row =>
+        val doc = Extract(row, cfg)
+        docCount += 1
+        htmlBytes += doc.stats.htmlBytes
+        textBytes += doc.extracted_text.length.toLong
+        if (doc.status != Status.Ok) quarantined += 1
+        doc
+      }
+      // wrap to emit lineage when the partition iterator is exhausted
+      new Iterator[ExtractedDoc] {
+        private var emitted = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !emitted && acc != null) {
+            emitted = true
+            acc.add(LineageRow(runId, -1L, pid, docCount, htmlBytes, textBytes,
+              quarantined, Map("total" -> (System.nanoTime() - t0)),
+              new java.sql.Timestamp(System.currentTimeMillis())))
+          }
+          h
+        }
+        def next(): ExtractedDoc = out.next()
+      }
+    }
+  }
+
+  def newLineageAcc(spark: SparkSession, name: String): CollectionAccumulator[LineageRow] = {
+    val acc = new CollectionAccumulator[LineageRow]
+    spark.sparkContext.register(acc, name)
+    acc
+  }
+}

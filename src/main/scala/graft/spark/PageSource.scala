@@ -1,0 +1,27 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.PageRow
+import graft.fixtures.FixtureGen
+
+/** Distributed fixture-page source: `spark.range(n)` → one PageRow per id.
+  * Generation is per-row deterministic (seed ⊕ url hash, FixtureGen), so the
+  * produced table is IDENTICAL regardless of partition count or execution
+  * order — the property that lets the same corpus back golden tests
+  * (sequential) and the bench (local[8] vs local[32]) without drift.
+  *
+  * At 100 TB this node is replaced by the real Iceberg scan; everything
+  * downstream consumes only Dataset[PageRow].
+  */
+object PageSource {
+
+  def pages(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+    else spark.sparkContext.defaultParallelism * 2
+    spark.range(0L, n, 1L, parts).mapPartitions { ids =>
+      ids.map(id => FixtureGen.fixture(id, seed).page)
+    }
+  }
+}

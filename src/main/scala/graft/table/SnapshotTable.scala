@@ -1,0 +1,110 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style table layer over Parquet (SURVEY.md §7 environment note: no
+  * Iceberg runtime jar offline, so v1 ships this thin equivalent; the API is
+  * shaped so a real Iceberg catalog drops in unchanged on a cluster).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/data/run=<runId>/bucket=NN/part-....parquet  // hidden bucket(B, url)
+  *   <dir>/snapshots/v<00001>.json                // manifest: files + counts
+  *   <dir>/snapshots/current                      // atomic pointer (rename)
+  * }}}
+  *
+  * Semantics:
+  *  - a run writes data files under its own run= prefix, then COMMITS by
+  *    writing a new manifest (previous manifest's files + its own) and
+  *    atomically swapping the `current` pointer (write tmp + ATOMIC_MOVE);
+  *  - readers resolve `current` → manifest → exact file list; files from
+  *    uncommitted (killed) runs are invisible;
+  *  - resume = anti-join input urls against committed output urls
+  *    (north_rule checkpoint-resume), see [[doneUrls]].
+  */
+object SnapshotTable {
+
+  final case class Snapshot(id: Long, files: Seq[String], rows: Long, runIds: Seq[String])
+
+  private def snapDir(dir: String): Path = Paths.get(dir, "snapshots")
+  private def currentPtr(dir: String): Path = snapDir(dir).resolve("current")
+
+  def currentSnapshot(dir: String): Option[Snapshot] = {
+    val ptr = currentPtr(dir)
+    if (!Files.exists(ptr)) return None
+    val name = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
+    val manifest = snapDir(dir).resolve(name)
+    if (!Files.exists(manifest)) return None
+    val m = graft.tools.JsonMini.parse(
+      new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
+      .asInstanceOf[Map[String, Any]]
+    Some(Snapshot(
+      m("snapshot_id").asInstanceOf[Long],
+      m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
+      m("rows").asInstanceOf[Long],
+      m("run_ids").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String])))
+  }
+
+  /** Append `df` as a new committed snapshot. `bucketBy` hidden-partitions on
+    * hash(urlCol) % buckets — the bucket(B, url) layout of the north rule
+    * (targeted re-runs read a bucket subset; skewed hosts spread uniformly
+    * because the hash covers the full url).
+    */
+  def append(df: DataFrame, dir: String, runId: String,
+      urlCol: String = "url", buckets: Int = 16): Snapshot = {
+    val runPath = Paths.get(dir, "data", s"run=$runId")
+    df.withColumn("bucket", pmod(xxhash64(col(urlCol)), lit(buckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(runPath.toString)
+    commitRun(dir, runId)
+  }
+
+  /** Commit whatever data files exist under run=<runId> as a new snapshot
+    * (split from [[append]] so tests can simulate a kill between write and
+    * commit).
+    */
+  def commitRun(dir: String, runId: String): Snapshot = {
+    val runPath = Paths.get(dir, "data", s"run=$runId")
+    val newFiles =
+      if (Files.exists(runPath))
+        Files.walk(runPath).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+      else Seq.empty
+    val prev = currentSnapshot(dir)
+    val id = prev.map(_.id + 1).getOrElse(1L)
+    val files = prev.map(_.files).getOrElse(Seq.empty) ++ newFiles
+    val runIds = prev.map(_.runIds).getOrElse(Seq.empty) :+ runId
+    val snap = Snapshot(id, files, -1L, runIds)
+    Files.createDirectories(snapDir(dir))
+    val name = f"v$id%05d.json"
+    val json = {
+      val fs = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString("[", ",", "]")
+      val rs = runIds.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+      s"""{"snapshot_id":$id,"files":$fs,"rows":-1,"run_ids":$rs,"committed_at_ms":${System.currentTimeMillis()}}"""
+    }
+    val tmp = snapDir(dir).resolve(name + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapDir(dir).resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    val ptrTmp = snapDir(dir).resolve("current.tmp")
+    Files.write(ptrTmp, name.getBytes(StandardCharsets.UTF_8))
+    Files.move(ptrTmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  /** Read the committed table (empty DataFrame with no snapshot). */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentSnapshot(dir).filter(_.files.nonEmpty).map { s =>
+      spark.read.parquet(s.files: _*)
+    }
+
+  /** urls already extracted under the current snapshot (for resume
+    * anti-join). Column-pruned scan: only `url` is read from parquet.
+    */
+  def doneUrls(spark: SparkSession, dir: String): Option[DataFrame] =
+    read(spark, dir).map(_.select("url"))
+}
