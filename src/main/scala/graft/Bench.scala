@@ -1,24 +1,99 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spark.{ExtractJob, PageSource}
+
+/** Bench harness (driver-run → BENCH_r{N}.json; protocol in BASELINE.md).
+  *
+  * Measures (1) the north-rule metric — extraction throughput in docs/sec
+  * and GB/sec of raw html over a pre-materialized parquet corpus — and
+  * (2) wall time of headline operator queries at the given SF dir.
+  * Prints ONE JSON line.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4),
+  *      SPARK_GRAFT_BENCH_DOCS (default 120000).
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // CPU-bound scan: extraction costs ~2-3 ms/doc (~0.5 GB/s/core of html
+    // is NOT the bottleneck), so split size must target task-count ≈ 2-4×
+    // cores, not HDFS-block economics. Default 128 MB splits turn a 240 MB
+    // corpus into 2 tasks and idle 30/32 cores. Same tuning applies on a
+    // real cluster: files.maxPartitionBytes sized so scan tasks ≫ executors.
+    .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+    .getOrCreate()
+
+  /** Pre-materialize the bench corpus once (generation cost must not
+    * pollute the throughput measurement; the measured job is read parquet →
+    * extract → aggregate, exactly the north-rule job shape).
+    */
+  def ensureInput(spark: SparkSession, n: Long): String = {
+    val path = s"/tmp/graft_bench_input_$n"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      PageSource.pages(spark, n, partitions = 64).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One extraction pass; returns (seconds, docs, htmlBytes). */
+  def extractionRun(spark: SparkSession, inputPath: String): (Double, Long, Long) = {
+    import spark.implicits._
+    val pages = spark.read.parquet(inputPath).as[graft.core.PageRow]
+    val t0 = System.nanoTime()
+    val agg = ExtractJob.extract(pages)
+      .agg(count(lit(1)).as("docs"), sum($"stats.htmlBytes").as("bytes"),
+        sum(length($"extracted_text")).as("textChars"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, agg.getLong(0), agg.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // --- headline operator queries on the SF tables
+    val headline = Seq(
+      "q_sauvola", "q_window_stats", "q_wolfjolion", "q_otsu", "q_minhash",
+      "q_ngram_jaccard", "q_dedup_exact", "q_ann_topk", "q_lsh_bucket",
+      "q_golden_join", "q_event_windows", "q_topk", "q_quality_scores")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- extraction throughput (the north-rule metric)
+    val input = ensureInput(spark, benchDocs)
+    // two warmup passes: C2 needs ~10^5 row-iterations before the tokenizer
+    // and codegen'd (de)serializers reach steady state (measured: pass1 21s,
+    // pass3 3.6s on the same 40k docs) — report steady-state throughput
+    extractionRun(spark, input)
+    extractionRun(spark, input)
+    val (sec, docs, bytes) = extractionRun(spark, input)
+    results("extract_bench") = sec
+    val docsPerSec = docs / sec
+    val gbPerSec = bytes / sec / 1e9
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""extract_docs":$docs,"extract_docs_per_sec":${f"$docsPerSec%.1f"},""" +
+        s""""extract_gb_per_sec":${f"$gbPerSec%.4f"},"parallelism":"$cpus"}""")
     spark.stop()
   }
 }

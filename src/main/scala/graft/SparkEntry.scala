@@ -69,6 +69,15 @@ object SparkEntry {
     "q_lsh_bucket" -> (R.qLshBucket _),
     // events / time windows
     "q_event_windows" -> (R.qEventWindows _),
+    "q_sessionize" -> (R.qSessionize _),
+    // §2.5/§2.2 smoothing & variance map
+    "q_kuwahara" -> (R.qKuwahara _),
+    "q_sharpen" -> (R.qSharpen _),
+    "q_variance_map" -> (R.qVarianceMap _),
+    // §2.6 skeleton profile + fingerprinting
+    "q_skeleton" -> (R.qSkeleton _),
+    "q_simhash" -> (R.qSimHash _),
+    "q_fingerprint" -> (R.qFingerprint _),
     // extraction pipeline (rows-only; golden suite is the byte gate)
     "q_extract" -> (PipelineQueries.qExtract _),
     "q_decode_charsets" -> (PipelineQueries.qDecodeCharsets _),
@@ -85,7 +94,10 @@ object SparkEntry {
     "q_extract_medianmean" -> (PipelineQueries.classifierVariant("medianmean") _),
     "q_extract_mokji" -> (PipelineQueries.classifierVariant("mokji") _),
     "q_extract_otsu" -> (PipelineQueries.classifierVariant("otsu") _),
-    "q_extract_nativeadaptive" -> (PipelineQueries.classifierVariant("nativeadaptive") _)
+    "q_extract_nativeadaptive" -> (PipelineQueries.classifierVariant("nativeadaptive") _),
+    "q_extract_agt" -> (PipelineQueries.classifierVariant("agt") _),
+    "q_extract_variances" -> (PipelineQueries.classifierVariant("variances") _),
+    "q_extract_kuwahara" -> (PipelineQueries.classifierVariant("kuwahara") _)
   )
 
   /** DuckDB-runnable oracle SQL (only for the SQL-expressible queries). */

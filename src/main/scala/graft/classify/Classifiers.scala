@@ -146,6 +146,46 @@ object Classifiers {
         // GAUSSIAN_C (binarizePureAdaptiveGaussian.cpp:32-75)
         var i = 0
         while (i < n) { t(i) = ws.gaussMean(i, w, cfg.sigma) - cfg.c; i += 1 }
+      case "agt" =>
+        // binarizeAGT (binarizeAGT.cpp:33-60): median-smooth the signal,
+        // then GAUSSIAN_C threshold
+        val sm = new Array[Double](n)
+        var i = 0
+        while (i < n) { sm(i) = ws.median(i, 5); i += 1 }
+        val ws2 = new WindowStats(sm)
+        i = 0
+        while (i < n) { t(i) = ws2.gaussMean(i, w, cfg.sigma) - cfg.c; i += 1 }
+      case "variances" =>
+        // binarizeByLocalVariances (binarizeByLocalVariances.cpp:13-141):
+        // ensemble of masks ANDed — mask1: local variance > minVar (:53-57);
+        // mask2: x > coeff*(max-min)/2 with row-global range (:85-96).
+        // Encoded as a threshold: +inf where mask1 fails.
+        val minVar = 25.0 // h:8-12 default
+        val coeff = 0.125
+        val gmax = ws.globalMax; val gmin = ws.globalMin
+        val level = coeff * (gmax - gmin) / 2.0 + gmin
+        var i = 0
+        while (i < n) {
+          val s = s_(i, w)
+          t(i) = if (s * s > minVar) level else Double.MaxValue
+          i += 1
+        }
+      case "kuwahara" =>
+        // 1-D anisotropic Kuwahara (kuwaharaFilter.cpp:138-172): two sectors
+        // (left, right), take the mean of the LOWER-VARIANCE sector as the
+        // smoothed signal, then MEAN_C threshold on it. Edge-preserving:
+        // windows do not blur across content/boilerplate boundaries.
+        val half = w / 2
+        val sm = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val lm = ws.rangeMean(i - half, i); val ls = ws.rangeStd(i - half, i)
+          val rm = ws.rangeMean(i, i + half); val rs2 = ws.rangeStd(i, i + half)
+          sm(i) = if (ls <= rs2) lm else rm
+          i += 1
+        }
+        i = 0
+        while (i < n) { t(i) = sm(i) - cfg.c; i += 1 }
       case "medianmean" =>
         // binarizeAT: median-smooth the signal, then MEAN_C threshold
         // (binarizeAT.cpp:33-68)

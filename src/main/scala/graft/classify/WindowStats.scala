@@ -75,6 +75,23 @@ final class WindowStats(x: Array[Double]) {
     if (v <= 0) 0.0 else math.sqrt(v)
   }
 
+  /** Explicit-range mean over [l, h] inclusive (clamped). */
+  def rangeMean(l0: Int, h0: Int): Double = {
+    val l = math.max(0, l0); val h = math.min(n - 1, h0)
+    if (h < l) return 0.0
+    (prefix(h + 1) - prefix(l)) / (h - l + 1)
+  }
+
+  /** Explicit-range population stddev over [l, h] inclusive (clamped). */
+  def rangeStd(l0: Int, h0: Int): Double = {
+    val l = math.max(0, l0); val h = math.min(n - 1, h0)
+    if (h < l) return 0.0
+    val cnt = (h - l + 1).toDouble
+    val m = (prefix(h + 1) - prefix(l)) / cnt
+    val v = (prefixSq(h + 1) - prefixSq(l)) / cnt - m * m
+    if (v <= 0) 0.0 else math.sqrt(v)
+  }
+
   /** Exact window min/max (no prefix trick; windows are small). */
   def minMax(i: Int, window: Int): (Double, Double) = {
     val half = window / 2

@@ -355,6 +355,75 @@ object Oracles {
         |  (CASE WHEN d0 > 0 THEN 2 ELSE 0 END) + (CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS bucket
         |FROM d ORDER BY vec_id""".stripMargin,
 
+    "q_kuwahara" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    avg(n_chars) OVER lw AS lm,
+        |    coalesce(stddev_pop(n_chars) OVER lw, 0) AS ls,
+        |    avg(n_chars) OVER rw AS rm,
+        |    coalesce(stddev_pop(n_chars) OVER rw, 0) AS rs
+        |  FROM documents
+        |  WINDOW lw AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |         rw AS (PARTITION BY source ORDER BY doc_id ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+        |SELECT doc_id, round(CASE WHEN ls <= rs THEN lm ELSE rm END, 4) AS kw
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_sharpen" ->
+      s"""SELECT doc_id,
+         |  round(n_chars + 0.5 * (n_chars - avg(n_chars) OVER win), 4) AS sharp
+         |FROM documents $win ORDER BY doc_id""".stripMargin,
+
+    "q_variance_map" ->
+      s"""SELECT doc_id,
+         |  round(greatest(coalesce(var_pop(n_chars) OVER win, 0), 0.01), 4) AS varmap
+         |FROM documents $win ORDER BY doc_id""".stripMargin,
+
+    "q_skeleton" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS skel
+        |  FROM documents)
+        |SELECT doc_id, length(skel) AS skel_len, substring(skel, 1, 40) AS skel_head
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_simhash" ->
+      ("""WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS h
+        |  FROM w),
+        |s AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+        (0 until 16).map(b => s"    sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n") +
+        "\n  FROM h GROUP BY doc_id)\nSELECT doc_id,\n  " +
+        (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ") +
+        " AS simhash\nFROM s ORDER BY doc_id"),
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT), list_transform(string_split(substring(text, 1, 40), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, cast(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    lag(cast(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS newsess
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(newsess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS sess
+        |  FROM n)
+        |SELECT user_id, cast(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_event_windows" ->
       """SELECT event_type, cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
         |       count(*) AS n, round(sum(value), 2) AS sum_value

@@ -412,6 +412,88 @@ object RelationalQueries {
       .orderBy("vec_id")
   }
 
+  /** 1-D anisotropic Kuwahara smoothing (kuwaharaFilter.cpp:138-172): mean
+    * of the lower-variance sector (left vs right window) — edge-preserving.
+    */
+  def qKuwahara(spark: SparkSession, dir: String): DataFrame = {
+    val lw = seqW.rowsBetween(-4, 0)
+    val rw = seqW.rowsBetween(0, 4)
+    docs(spark, dir)
+      .withColumn("lm", avg($c("n_chars")).over(lw))
+      .withColumn("ls", coalesce(stddev_pop($c("n_chars")).over(lw), lit(0.0)))
+      .withColumn("rm", avg($c("n_chars")).over(rw))
+      .withColumn("rs", coalesce(stddev_pop($c("n_chars")).over(rw), lit(0.0)))
+      .select($c("doc_id"),
+        round(when($c("ls") <= $c("rs"), $c("lm")).otherwise($c("rm")), 4).as("kw"))
+      .orderBy("doc_id")
+  }
+
+  /** basicDeblur unsharp mask (basicDeblur.cpp:33-70): x + λ(x - wmean). */
+  def qSharpen(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("m", avg($c("n_chars")).over(winW))
+      .select($c("doc_id"),
+        round($c("n_chars") + lit(0.5) * ($c("n_chars") - $c("m")), 4).as("sharp"))
+      .orderBy("doc_id")
+
+  /** MatToLocalVarianceMap (imageLibCommon.cpp:397-466): local variance map. */
+  def qVarianceMap(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("v", coalesce(var_pop($c("n_chars")).over(winW), lit(0.0)))
+      .select($c("doc_id"), round(greatest($c("v"), lit(0.01)), 4).as("varmap"))
+      .orderBy("doc_id")
+
+  /** Guo-Hall-profile skeleton normalization (thinGuoHall.cpp:56-108). */
+  def qSkeleton(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("skel", trim(regexp_replace(
+        regexp_replace(lower($c("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select($c("doc_id"), length($c("skel")).as("skel_len"),
+        substring($c("skel"), 1, 40).as("skel_head"))
+      .orderBy("doc_id")
+
+  /** SimHash (16-bit) over word md5s — near-dup fingerprinting. */
+  def qSimHash(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select($c("doc_id"), explode(array_distinct(split($c("text"), " "))).as("w"))
+      .withColumn("h", conv(substring(md5($c("w").cast("binary")), 1, 4), 16, 10).cast("int"))
+    val bits = (0 until 16).map { b =>
+      sum(shiftright($c("h"), b).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b")
+    }
+    val agg = words.groupBy($c("doc_id")).agg(bits.head, bits.tail: _*)
+    val sim = (0 until 16).map { b =>
+      when($c(s"s$b") > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    agg.select($c("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint of the first 40 chars
+    * (document fingerprinting; exact integer math in both engines).
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("chars",
+        filter(split(substring($c("text"), 1, 40), ""), c => c =!= ""))
+      .select($c("doc_id"),
+        aggregate($c("chars"), lit(7L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+
+  /** Sessionization over the events stream (gaps-and-islands, 30-min gap) —
+    * the batch twin of a session window.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy($c("ts"), $c("event_id"))
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("prev", lag(unix_timestamp($c("ts")), 1).over(uw))
+      .withColumn("newsess",
+        when($c("prev").isNull || unix_timestamp($c("ts")) - $c("prev") > 1800, 1).otherwise(0))
+    e.withColumn("sess", sum($c("newsess")).over(uw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($c("user_id"))
+      .agg(max($c("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------ events (time windows)
 
   def qEventWindows(spark: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,31 @@ object Canon {
     out.toString
   }
 
+  /** Alternative normalization profile — the Guo-Hall twin of the default
+    * Zhang-Suen-profile [[apply]] (thinGuoHall.cpp:56-108: same driver,
+    * different rules, same fixpoint contract). Reduces text to a bare
+    * alphanumeric skeleton: ASCII-lowercase, non-[a-z0-9] chars become
+    * spaces, runs collapse. Idempotent by construction; locale-free
+    * (ASCII-only case fold, no Locale-sensitive toLowerCase).
+    */
+  def skeleton(s: String): String = {
+    val c = apply(s)
+    val out = new java.lang.StringBuilder(c.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < c.length) {
+      val ch0 = c.charAt(i)
+      val ch = if (ch0 >= 'A' && ch0 <= 'Z') (ch0 + 32).toChar else ch0
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(ch)
+      } else pendingSpace = true
+      i += 1
+    }
+    out.toString
+  }
+
   /** Token count under the canonical whitespace model. Canonical text has
     * single-space separators, so tokens = spaces + 1 (0 for empty).
     */
