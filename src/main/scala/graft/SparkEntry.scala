@@ -76,6 +76,12 @@ object SparkEntry {
     "q_variance_map" -> (R.qVarianceMap _),
     // §2.6 skeleton profile + fingerprinting
     "q_skeleton" -> (R.qSkeleton _),
+    // native Catalyst expression (codegen) + library-API ops
+    "q_canon_expr" -> (R.qCanonExpr _),
+    "q_lang_id" -> (R.qLangId _),
+    "q_dedup_api" -> (R.qDedupApi _),
+    "q_lsh_pairs" -> (R.qLshPairs _),
+    "q_ann_bucketed" -> (R.qAnnBucketed _),
     "q_simhash" -> (R.qSimHash _),
     "q_fingerprint" -> (R.qFingerprint _),
     // extraction pipeline (rows-only; golden suite is the byte gate)
@@ -85,6 +91,7 @@ object SparkEntry {
     "q_blocks" -> (PipelineQueries.qBlocks _),
     "q_boundary" -> (PipelineQueries.qBoundary _),
     "q_resume_antijoin" -> (PipelineQueries.qResumeAntiJoin _),
+    "q_multimodal" -> (PipelineQueries.qMultimodal _),
     "q_extract_niblack" -> (PipelineQueries.classifierVariant("niblack") _),
     "q_extract_nick" -> (PipelineQueries.classifierVariant("nick") _),
     "q_extract_wolfjolion" -> (PipelineQueries.classifierVariant("wolfjolion") _),

@@ -424,6 +424,95 @@ object Oracles {
         |SELECT user_id, cast(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_canon_expr" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, len(string_split(canon, ' ')) AS n_tokens,
+        |       substring(canon, 1, 60) AS head
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = graft.ops.TextStats.langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = markers.map { case (lang, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"    len(list_distinct(list_intersect(toks, $lst))) AS s_$lang"
+      }.mkString(",\n")
+      val best = markers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |$scoreCols
+         |  FROM t),
+         |b AS (SELECT doc_id, *, $best AS best FROM s)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_api" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |sig AS (
+        |  SELECT id,
+        |    min(md5(w || '#0')) AS m0, min(md5(w || '#1')) AS m1,
+        |    min(md5(w || '#2')) AS m2, min(md5(w || '#3')) AS m3,
+        |    min(md5(w || '#4')) AS m4, min(md5(w || '#5')) AS m5,
+        |    min(md5(w || '#6')) AS m6, min(md5(w || '#7')) AS m7
+        |  FROM w GROUP BY id),
+        |banded AS (
+        |  SELECT id, 0 AS band, m0 || m1 AS band_key FROM sig UNION ALL
+        |  SELECT id, 1, m2 || m3 FROM sig UNION ALL
+        |  SELECT id, 2, m4 || m5 FROM sig UNION ALL
+        |  SELECT id, 3, m6 || m7 FROM sig)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+        |WHERE a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bucketed" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id,
+        |    sum(v * ((pos * 37) % 13 - 6)) AS d0,
+        |    sum(v * ((pos * 37 + 17) % 13 - 6)) AS d1
+        |  FROM x GROUP BY vec_id),
+        |bk AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN d0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN d1 > 0 THEN 2 ELSE 0 END) AS bucket
+        |  FROM d),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |q AS (SELECT e.vec_id AS qid, e.dv AS qv, bk.bucket
+        |      FROM e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q.qid, e.vec_id,
+        |         round(list_dot_product(q.qv, e.dv), 6) AS score
+        |  FROM q JOIN bk ON q.bucket = bk.bucket
+        |         JOIN e ON e.vec_id = bk.vec_id
+        |  WHERE e.vec_id != q.qid)
+        |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn,
+        |       vec_id, score
+        |FROM s QUALIFY rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, 'png' AS format,
+        |  64 + doc_id % 64 AS width, 32 + doc_id % 32 AS height,
+        |  cast(289 + doc_id % 256 AS BIGINT) AS bytes,
+        |  cast(10000 AS BIGINT) AS feat_sum_e4
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_event_windows" ->
       """SELECT event_type, cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
         |       count(*) AS n, round(sum(value), 2) AS sum_value

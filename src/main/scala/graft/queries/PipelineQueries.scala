@@ -84,6 +84,26 @@ object PipelineQueries {
   /** Resume anti-join shape (north-rule checkpoint-resume): pretend the
     * first half is committed, extract only the remainder.
     */
+  /** Multimodal binary-column plumbing (graft.ops.Multimodal): synthesize a
+    * deterministic PNG container per doc, parse its header back in a typed
+    * map — real bytes, real parser, real schema; pixel decode stays a
+    * documented stub. Oracle = the closed-form arithmetic of the fixture.
+    */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    import spark.implicits._
+    d.as[Long].map { id =>
+      val png = graft.ops.Multimodal.fakePng(
+        seed = id, width = (64 + id % 64).toInt, height = (32 + id % 32).toInt,
+        payloadBytes = (256 + id % 256).toInt)
+      val m = graft.ops.Multimodal.parseMeta(png)
+      val feat = graft.ops.Multimodal.decodePixelsStub(png)
+      (id, m.format, m.width.toLong, m.height.toLong, m.bytes,
+        math.round(feat.sum * 10000).toLong)
+    }.toDF("doc_id", "format", "width", "height", "bytes", "feat_sum_e4")
+      .orderBy("doc_id")
+  }
+
   def qResumeAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = PageSource.pages(spark, N)

@@ -494,6 +494,49 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Canonicalization via the NATIVE Catalyst expression (codegen'd,
+    * graft.functions.CanonicalizeText) — same oracle as the SQL-regex canon
+    * because documents text is ASCII.
+    */
+  def qCanonExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir).createOrReplaceTempView("graft_docs_tmp")
+    spark.sql(
+      """SELECT doc_id,
+        |  size(split(graft_canon(text), ' ')) AS n_tokens,
+        |  substring(graft_canon(text), 1, 60) AS head
+        |FROM graft_docs_tmp ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Language-ID by stopword-marker profile (graft.ops.TextStats.langId). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($c("doc_id"), graft.ops.TextStats.langId($c("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Exact dedup via the library API (graft.ops.Dedup.exact). */
+  def qDedupApi(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exact(docs(spark, dir), "doc_id", "text")
+      .select($c("doc_id"), when($c("is_canonical"), 1).otherwise(0).as("canonical"))
+      .orderBy("doc_id")
+
+  /** MinHash-LSH candidate pairs (graft.ops.Dedup.lshCandidates). */
+  def qLshPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.lshCandidates(docs(spark, dir).withColumnRenamed("doc_id", "id"),
+      "id", "text", bands = 4, rowsPerBand = 2)
+      .orderBy("id_a", "id_b")
+
+  /** Bucketed ANN via the library API (LSH sign buckets, exact within
+    * bucket) — the 100 TB similarity-search shape.
+    */
+  def qAnnBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select($c("vec_id"), $c("embedding").cast("array<double>").as("dv"))
+    val q = e.filter($c("vec_id") % 50 === 0)
+      .select($c("vec_id").as("qid"), $c("dv").as("qv"))
+    graft.ops.Similarity.bucketedTopK(q, e, k = 3, nPlanes = 2)
+      .orderBy("qid", "rn")
+  }
+
   // ------------------------------------------------ events (time windows)
 
   def qEventWindows(spark: SparkSession, dir: String): DataFrame =
