@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Xms pinned to Xmx: without it the collector thrashes to avoid growing
+  // the heap and GC dominates wall time at high task concurrency
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseG1GC")}",
 )

@@ -20,49 +20,32 @@ object ScalingBench {
     else sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
 
     var jitWarm = false
-    def sessionAt(cpus: Int) = {
+    // ONE session per level, all passes inside it: SparkSession churn in a
+    // single JVM accumulates retained garbage and GC wall time grows pass
+    // over pass; a long-lived session (the real deployment shape) does not.
+    def runLevel(cpus: Int): Seq[(Double, Long, Long)] = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      Bench.session(cpus.toString)
-    }
-    // the sandbox disk is shared and slow (~65 MB/s cold); the system under
-    // test is the extraction job, not the VM's virtio disk, so measured
-    // passes run against a warmed page cache (noted in BENCH/BASELINE.md)
-    def warmPageCache(input: String): Unit = {
-      val dir = new java.io.File(input)
-      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        val in = new java.io.FileInputStream(f)
-        val buf = new Array[Byte](1 << 20)
-        while (in.read(buf) > 0) {}
-        in.close()
-      }
-    }
-    def runAt(cpus: Int): (Double, Long, Long) = {
-      val spark = sessionAt(cpus)
+      val spark = Bench.session(cpus.toString)
       spark.sparkContext.setLogLevel("ERROR")
       val input = Bench.ensureInput(spark, n)
-      warmPageCache(input)
-      if (!jitWarm) {
-        val warmInput = Bench.ensureInput(spark, math.min(n, 40000L))
-        (1 to 2).foreach { i =>
-          val (ws, _, _) = Bench.extractionRun(spark, warmInput)
-          System.err.println(f"[scaling] warmup($cpus) pass $i: $ws%.1f s")
-        }
-        jitWarm = true
+      val warmInput = Bench.ensureInput(spark, math.min(n, 40000L))
+      val passes = if (jitWarm) 1 else 2
+      (1 to passes).foreach { i =>
+        val (ws, _, _) = Bench.extractionRun(spark, warmInput)
+        System.err.println(f"[scaling] warmup($cpus) pass $i: $ws%.1f s")
       }
-      val r = Bench.extractionRun(spark, input)
-      System.err.println(f"[scaling] measured($cpus): ${r._1}%.1f s")
+      jitWarm = true
+      val rs = (1 to 3).map { i =>
+        val r = Bench.extractionRun(spark, input)
+        System.err.println(f"[scaling] measured($cpus) pass $i: ${r._1}%.1f s")
+        r
+      }
       spark.stop()
-      r
+      rs
     }
-    // external tenant load makes walls noisy: interleave levels, min per level
-    runAt(8) // warmup happens here
-    val r8s = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
-    val r32s = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
-    (1 to 4).foreach { _ =>
-      r8s += runAt(8)
-      r32s += runAt(32)
-    }
+    val r8s = runLevel(8)
+    val r32s = runLevel(32)
     val (t8, docs, bytes) = r8s.minBy(_._1)
     val (t32, _, _) = r32s.minBy(_._1)
     val eff = (t8 / t32) * (8.0 / 32.0)
