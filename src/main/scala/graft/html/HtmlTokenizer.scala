@@ -243,8 +243,14 @@ object HtmlTokenizer {
                 popThrough("head")
               if (closing) { popThrough(name); i = j }
               else if (rawTextTags.contains(name)) {
-                // raw text content: skip to matching close tag, discard
-                val k = indexOfIgnoreCase(html, "</" + name, j, n)
+                // raw text content: skip to matching close tag, discard.
+                // WHATWG raw-text end-tag rule: the char after the tag name
+                // must be '>', '/', or ASCII whitespace — otherwise it is
+                // script/style content (e.g. "</scripty" or a JS string
+                // holding "</scriptFoo>"), not the close tag.
+                var k = indexOfIgnoreCase(html, "</" + name, j, n)
+                while (k >= 0 && !isRawTextEndTag(html, k, name, n))
+                  k = indexOfIgnoreCase(html, "</" + name, k + 1, n)
                 if (k < 0) i = n
                 else {
                   val end = html.indexOf('>', k)
@@ -283,6 +289,20 @@ object HtmlTokenizer {
     if (i < html.length) truncated = true
     flush()
     Result(blocks.toArray, truncated)
+  }
+
+  /** True when the "</name" match at `k` is a real raw-text end tag: the
+    * next char is '>', '/', or ASCII whitespace (or end of input — an
+    * unterminated tag at EOF ends the raw-text region anyway).
+    */
+  private def isRawTextEndTag(s: String, k: Int, name: String, limit: Int): Boolean = {
+    val after = k + 2 + name.length
+    if (after >= limit) true
+    else {
+      val c = s.charAt(after)
+      c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == '\f'
+    }
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int, limit: Int): Int = {

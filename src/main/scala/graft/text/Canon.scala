@@ -33,8 +33,27 @@ object Canon {
     (c < ' ' && !isWs(c)) || c == 0x007f ||
       (c >= 0x0080 && c <= 0x009f && !isWs(c))
 
-  /** One canonicalization pass (NFC + strip + collapse + trim). */
+  /** Canonicalization to fixpoint. One pass is NFC + strip + collapse +
+    * trim; stripping a zero-width char (ZWJ/soft-hyphen/...) between a base
+    * char and a combining mark can leave a non-NFC sequence, so we loop
+    * until the output is NFC-stable — the literal loop-until-`absdiff == 0`
+    * contract of the thinning reference (thinZhangSuen.cpp:90-98). A
+    * NFC-normalized pass output with no stripped/control chars and single
+    * spaces is a fixpoint of `onePass` by construction, so the loop guard
+    * only needs the NFC check.
+    */
   def apply(s: String): String = {
+    var cur = onePass(s)
+    var guard = 0
+    while (guard < 8 && !Normalizer.isNormalized(cur, Normalizer.Form.NFC)) {
+      cur = onePass(cur)
+      guard += 1
+    }
+    cur
+  }
+
+  /** One canonicalization pass (NFC + strip + collapse + trim). */
+  private def onePass(s: String): String = {
     if (s == null || s.isEmpty) return ""
     val nfc =
       if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) s

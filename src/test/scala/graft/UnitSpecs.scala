@@ -103,6 +103,15 @@ class TokenizerSpec extends AnyFunSuite {
     val b = blocks("<head><title>T</title><style>p{}</style></head><body><script>if(1<2){}</script><p>x y z</p></body>")
     assert(b.map(_.text).toSeq == Seq("x y z"))
   }
+  test("raw-text end tag requires >, /, or whitespace after the name") {
+    // "</scripty" and a JS string holding "</scriptFoo>" must NOT end the
+    // raw-text region (WHATWG raw-text end-tag rule; ADVICE r1)
+    val b = blocks("<body><script>var a = '</scripty' + '</scriptFoo>';</script><p>kept text</p></body>")
+    assert(b.map(_.text).toSeq == Seq("kept text"))
+    // but "</script >" and "</script/>" do end it
+    val b2 = blocks("<body><script>x=1;</script ><p>one</p><script>y=2;</script/><p>two</p></body>")
+    assert(b2.map(_.text).toSeq == Seq("one", "two"))
+  }
   test("link chars tracked") {
     val b = blocks("<p>intro <a href='/x'>link text</a> outro</p>")
     assert(b.length == 1)
