@@ -67,6 +67,82 @@ object Boundary {
     else Some(Region(lo, hi))
   }
 
+  /** Alternative boundary finder — the findHoughLineContour transplant
+    * (houghLine.cpp:177-256), the reference's only second border-detection
+    * strategy behind the same interface. The reference median-blurs, finds
+    * straight LINES (Hough), requires at least 4, dedupes similar lines
+    * (deleteSimilarLines, :238), and keeps the largest valid quad they
+    * bound. 1-D: candidate "lines" are SEPARATOR blocks (rule lines:
+    * punctuation-dominated low-signal blocks — the <hr>-ish "-----" /
+    * "· · ·" dividers); adjacent separators collapse to one; with fewer
+    * than `minSeparators` the finder reports failure (houghLine.cpp:232-235
+    * `lines.size() < 4 → false`) and the caller falls back to the contour
+    * finder — exactly the reference's strategy composition. The accepted
+    * frame is the smallest separator-bounded span holding >= minKeptFraction
+    * of the kept signal (the largest-valid-quad criterion :160-168 — any
+    * WIDER frame is also valid, so the smallest valid one excludes the most
+    * outside clutter, which is the quad's purpose).
+    */
+  def findSeparatorFrame(
+      blocks: Array[Block],
+      labels: Array[Boolean],
+      minSeparators: Int = 4,
+      minKeptFraction: Double = 0.8): Option[Region] = {
+    val n = blocks.length
+    if (n == 0) return None
+    // candidate lines: separator blocks, adjacent ones deduped
+    val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < n) {
+      if (isSeparator(blocks(i)) && (seps.isEmpty || i > seps.last + 1)) seps += i
+      i += 1
+    }
+    if (seps.length < minSeparators) return None
+    // kept-signal prefix sums
+    val prefix = new Array[Double](n + 1)
+    i = 0
+    while (i < n) {
+      prefix(i + 1) = prefix(i) +
+        (if (labels(i)) (blocks(i).nChars - blocks(i).nLinkChars).toDouble else 0.0)
+      i += 1
+    }
+    val total = prefix(n)
+    if (total <= 0) return None
+    // borders: the last separator with <= (1-minKeptFraction)/2 of the signal
+    // before it, and the first separator with as little after it
+    val slack = (1.0 - minKeptFraction) / 2.0 * total
+    var loSep = -1
+    var hiSep = n
+    seps.foreach { s =>
+      if (prefix(s + 1) <= slack) loSep = s
+      if (total - prefix(s) <= slack && hiSep == n) hiSep = s
+    }
+    val lo = loSep + 1
+    val hi = hiSep - 1
+    if (hi < lo) return None
+    val inside = prefix(hi + 1) - prefix(lo)
+    if (inside < minKeptFraction * total) None
+    else Some(Region(lo, hi))
+  }
+
+  /** Separator-block predicate: short, link-free, and dominated by
+    * non-alphanumeric chars (the pixel pattern of a rule line).
+    */
+  def isSeparator(b: Block): Boolean = {
+    if (b.nChars == 0 || b.nChars > 64 || b.nLinkChars > 0) return false
+    var punct = 0
+    var i = 0
+    val t = b.text
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c > 127
+      if (!alnum && c != ' ') punct += 1
+      i += 1
+    }
+    punct * 5 >= t.length * 4 // >= 80% punctuation
+  }
+
   /** Apply a found region: clear labels outside it (warpCrop analogue —
     * everything outside the quad is discarded, warp.cpp:32-73).
     */

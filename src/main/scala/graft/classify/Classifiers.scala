@@ -69,10 +69,11 @@ object Classifiers {
   def linkDensity(b: Block): Double =
     if (b.nChars == 0) 0.0 else b.nLinkChars.toDouble / b.nChars
 
-  /** Per-block threshold t_i under the selected rule. Returns null for
-    * rules that are not per-block-threshold shaped (none currently).
+  /** Per-block threshold t_i under the selected rule. `paths` (block
+    * tagPaths) is required by the region-based kinds (fbcitb, cococlust);
+    * scalar kinds ignore it.
     */
-  def thresholds(x: Array[Double], cfg: Config): Array[Double] = {
+  def thresholds(x: Array[Double], cfg: Config, paths: Array[String] = null): Array[Double] = {
     val n = x.length
     val t = new Array[Double](n)
     if (n == 0) return t
@@ -215,12 +216,102 @@ object Classifiers {
         i = 0
         while (i < n) { t(i) = thr; i += 1 }
       case "otsu" =>
-        // per-row global Otsu over the signal histogram (the per-region Otsu
-        // of binarizeLocalOtsu.cpp:137-161 applied at document scope;
+        // per-row global Otsu over the signal histogram (plain THRESH_OTSU as
+        // used inside CannyEdgeDetection's threshold derivation; the
+        // document-scope variant of the per-region "localotsu" below;
         // histogram-mode machinery ≈ GetHistExtremums imageLibCommon.cpp:140-214)
-        val thr = Otsu.threshold(x, bins = 64)
+        // uniform signal: OpenCV's THRESH_OTSU marks a constant patch all
+        // one (foreground) class; Otsu.threshold returns min, which would
+        // drop everything — mirror OpenCV (the ensemble masks still decide)
+        val thr =
+          if (ws.globalMax - ws.globalMin < 1e-9) ws.globalMin - 1.0
+          else Otsu.threshold(x, bins = 64)
         var i = 0
         while (i < n) { t(i) = thr; i += 1 }
+      case "localotsu" =>
+        // binarizeLocalOtsu (binarizeLocalOtsu.cpp:100-161): contours from
+        // Canny edges, per-contour-bbox THRESH_OTSU stitched into the output.
+        // 1-D: signal-edge regions (Regions.edgeRegions = the Canny →
+        // findContours path :86-112), per-region Otsu threshold. A region
+        // with no internal contrast takes the document-scope Otsu threshold —
+        // in the reference such uniform background never lies inside a
+        // contour bbox and stays at the global default, while a uniform
+        // content region binarizes to foreground (cv::threshold(THRESH_OTSU)
+        // on a constant patch marks it all one class, :154-159); the
+        // document-scope threshold reproduces both outcomes.
+        val docThr =
+          if (ws.globalMax - ws.globalMin < 1e-9) ws.globalMin - 1.0
+          else Otsu.threshold(x, bins = 64)
+        Regions.edgeRegions(x).foreach { r =>
+          var mn = x(r.lo); var mx = x(r.lo)
+          var j = r.lo + 1
+          while (j <= r.hi) { if (x(j) < mn) mn = x(j); if (x(j) > mx) mx = x(j); j += 1 }
+          val thr =
+            if (mx - mn < 1e-9) docThr
+            else Otsu.threshold(java.util.Arrays.copyOfRange(x, r.lo, r.hi + 1), bins = 64)
+          j = r.lo
+          while (j <= r.hi) { t(j) = thr; j += 1 }
+        }
+      case "fbcitb" =>
+        // binarizeFBCITB (binarizeFBCITB.cpp:73-404): contour regions with
+        // per-region fg/bg stats and a polarity decision. Regions come from
+        // the DOM tree (tagPathRegions = RETR_TREE + RemoveChildrenContours
+        // + the bounding-rect max-area filter, :196-252). Per region:
+        // F = mean signal of the region's own blocks (the contour-point mean
+        // F_EB, :269-277); B = median of the just-outside neighbor signals
+        // (the bbox-corner medians B_EB, :279-356). F > B ⇒ the region is
+        // foreground-polarity: its blocks threshold at the F/B midpoint.
+        // F <= B ⇒ the region is background relative to its surroundings and
+        // contributes no content (the reference binarizes such regions toward
+        // background, :371-381; in the text domain content is always the
+        // high-signal side, so the inverse ink polarity has no analogue —
+        // documented divergence). The midpoint replaces the reference's
+        // threshold-at-F (:375-379): F is a mean over a region that includes
+        // sub-threshold blocks, so thresholding AT F would drop half of a
+        // uniform content region; (F+B)/2 separates region from surroundings
+        // exactly as the per-channel comparison does for ink vs paper.
+        if (paths == null)
+          throw new IllegalArgumentException("fbcitb needs block tagPaths")
+        var k = 0
+        while (k < n) { t(k) = Double.MaxValue; k += 1 } // default background
+        Regions.tagPathRegions(paths).foreach { r =>
+          var sum = 0.0
+          var j = r.lo
+          while (j <= r.hi) { sum += x(j); j += 1 }
+          val f = sum / r.size
+          // fallback 0: a region with no outside (whole-doc) compares to the
+          // domain's true background level — zero signal, the scanner-bed
+          // analogue — not to its own minimum
+          val b = Regions.outsideMedian(x, r.lo, r.hi, reach = 3, fallback = 0.0)
+          if (f > b) {
+            val thr = (f + b) / 2.0
+            j = r.lo
+            while (j <= r.hi) { t(j) = thr; j += 1 }
+          }
+        }
+      case "cococlust" =>
+        // binarizeCOCOCLUST (binarizeCOCOCLUST.cpp:41-447): contours from
+        // Canny edges; per contour FG = mean intensity along the contour
+        // (:359-375), BG = median of samples along the outward normals
+        // (nVectorLength = 5, :262-401); polarity from FG vs BG (:414-437);
+        // binarize inside the bbox. 1-D: edge-bounded regions, inside mean
+        // vs outside median (reach 5 = the normal-vector length), keep the
+        // bright side at the FG/BG midpoint for foreground-polarity regions
+        // (midpoint for the same reason as fbcitb above).
+        var k2 = 0
+        while (k2 < n) { t(k2) = Double.MaxValue; k2 += 1 }
+        Regions.edgeRegions(x).foreach { r =>
+          var sum = 0.0
+          var j = r.lo
+          while (j <= r.hi) { sum += x(j); j += 1 }
+          val fg = sum / r.size
+          val bg = Regions.outsideMedian(x, r.lo, r.hi, reach = 5, fallback = 0.0)
+          if (fg > bg) {
+            val thr = (fg + bg) / 2.0
+            j = r.lo
+            while (j <= r.hi) { t(j) = thr; j += 1 }
+          }
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown classifier kind: $other")
     }
@@ -241,11 +332,44 @@ object Classifiers {
     val n = blocks.length
     if (n == 0) return Array.empty
     val x = signal(blocks)
-    val t = thresholds(x, cfg)
-    val keep = new Array[Boolean](n)
+    val paths =
+      if (cfg.kind == "fbcitb") blocks.map(_.tagPath) else null
+    val t = thresholds(x, cfg, paths)
+    // threshold mask alone (before the ensemble masks) — needed separately
+    // for the nativeadaptive polarity check below
+    var tk = new Array[Boolean](n)
     var i = 0
+    while (i < n) { tk(i) = x(i) > t(i); i += 1 }
+    // binarizeNativeAdaptive auto-invert (binarizeNativeAdaptive.cpp:108-111:
+    // per channel, `if mean(binary) < 128 → invert`): a mask that claims a
+    // MAJORITY of the page as foreground has the polarity upside-down. In the
+    // text domain a legitimate all-content page also keeps a majority, so the
+    // literal rule is guarded by link evidence: invert only when the kept
+    // side is MORE link-dense than the dropped side (content is never the
+    // linky side) — documented divergence, same intent (polarity sanity).
+    if (cfg.kind == "nativeadaptive") {
+      var keptCnt = 0
+      var keptChars = 0L; var keptLink = 0L
+      var dropChars = 0L; var dropLink = 0L
+      i = 0
+      while (i < n) {
+        if (tk(i)) { keptCnt += 1; keptChars += blocks(i).nChars; keptLink += blocks(i).nLinkChars }
+        else { dropChars += blocks(i).nChars; dropLink += blocks(i).nLinkChars }
+        i += 1
+      }
+      val keptLd = if (keptChars == 0) 0.0 else keptLink.toDouble / keptChars
+      val dropLd = if (dropChars == 0) 1.0 else dropLink.toDouble / dropChars
+      if (keptCnt * 2 > n && keptLd > dropLd) {
+        val inv = new Array[Boolean](n)
+        i = 0
+        while (i < n) { inv(i) = !tk(i); i += 1 }
+        tk = inv
+      }
+    }
+    val keep = new Array[Boolean](n)
+    i = 0
     while (i < n) {
-      keep(i) = x(i) > math.max(t(i), cfg.absMin) &&
+      keep(i) = tk(i) && x(i) > cfg.absMin &&
         linkDensity(blocks(i)) <= cfg.maxLinkDensity
       i += 1
     }

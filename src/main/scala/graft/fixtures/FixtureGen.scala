@@ -423,4 +423,124 @@ object FixtureGen {
 
   def fixtures(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
     (0L until n.toLong).map(fixture(_, seed))
+
+  // ------------------------------------------------------- adversarial set
+  //
+  // Threshold-band and inverted-polarity corpora (VERDICT r1 item 4): pages
+  // engineered NEAR the decision boundary, where the naive threshold alone
+  // misclassifies and only the ensemble (confidence-banded smoothing, link
+  // mask, polarity auto-invert) or a different classifier kind gets the
+  // right answer. Separate url namespace — the standard `fixtures` stream
+  // and its frozen goldens are untouched.
+
+  /** "band": article with saturated paragraphs plus ISOLATED mid-band
+    * paragraphs (125–190 non-link chars — above the absMin floor, below the
+    * strongLevel confidence band) and an ambiguous nav teaser (85–115
+    * chars). The naive window threshold drops the mid-band paragraphs and
+    * is indifferent on the teaser; banded smoothing rescues the former
+    * (strong kept neighbors) and kills the latter (dropped nav neighbors).
+    */
+  private def genBand(rng: Random): (String, List[String]) = {
+    val k = 8 + rng.nextInt(7)
+    // choose isolated interior mid-band positions (gap >= 2, not first/last)
+    val midCount = 1 + rng.nextInt(3)
+    val positions = scala.collection.mutable.Set.empty[Int]
+    var attempts = 0
+    while (positions.size < midCount && attempts < 40) {
+      val p = 1 + rng.nextInt(math.max(1, k - 2))
+      // gap >= 3: two ambiguous blocks at distance 2 oscillate under the
+      // iterated median post-pass (kept-dropped-kept alternation)
+      if ((p - 2 to p + 2).forall(q => !positions.contains(q))) positions += p
+      attempts += 1
+    }
+    val paras = (0 until k).map { i =>
+      if (positions.contains(i)) {
+        // mid-band: clamp the paragraph into [125, 190] chars by truncating
+        // to the last sentence end under 190
+        val p = paragraph(rng, 125)
+        if (p.length <= 190) p
+        else {
+          val cut = p.lastIndexOf('.', 189)
+          if (cut >= 124) p.substring(0, cut + 1) else p.substring(0, 190).trim + "."
+        }
+      } else paragraph(rng, 300 + rng.nextInt(150))
+    }.toList
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 6 + rng.nextInt(4)))
+    // ambiguous teaser: 85-115 link-free chars inside the nav region
+    sb.append("<div class=\"promo\">").append(sentence(rng, 13).take(85 + rng.nextInt(30)))
+      .append("</div>")
+    sb.append("</nav></header>")
+    sb.append("<article>")
+    paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 5 + rng.nextInt(4))).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  /** "inverted": boilerplate-dominant page whose boilerplate is BRIGHT
+    * (600+ chars, ~50% link text — under the 0.66 link mask) and whose true
+    * content is a short dim run (140–170 link-free chars). The default
+    * threshold keeps the bright linky majority; only a polarity-aware kind
+    * (nativeadaptive auto-invert) extracts the content — the webtext
+    * analogue of an inverted scan (binarizeNativeAdaptive.cpp:108-111).
+    */
+  private def genInverted(rng: Random): (String, List[String]) = {
+    val nBoiler = 9 + rng.nextInt(5)
+    val nContent = 2 + rng.nextInt(2)
+    val paras = List.fill(nContent) {
+      val p = paragraph(rng, 140)
+      if (p.length <= 170) p
+      else {
+        val cut = p.lastIndexOf('.', 169)
+        if (cut >= 139) p.substring(0, cut + 1) else p.substring(0, 170).trim + "."
+      }
+    }
+    def boilerBlock(): String = {
+      // ~50% of chars inside links: alternate linked and plain sentences
+      val sb = new StringBuilder("<div class=\"sponsored\">")
+      var linked = 0
+      var plain = 0
+      while (linked + plain < 600) {
+        val s = sentence(rng, 6 + rng.nextInt(6))
+        if (linked <= plain) {
+          sb.append("<a href=\"/o/").append(rng.nextInt(999)).append("\">").append(s).append("</a> ")
+          linked += s.length
+        } else {
+          sb.append(s).append(' ')
+          plain += s.length
+        }
+      }
+      sb.append("</div>")
+      sb.toString
+    }
+    val sb = new StringBuilder
+    sb.append("<html><head><meta charset=\"utf-8\"></head><body>")
+    val before = nBoiler / 2 + (nBoiler % 2)
+    (0 until before).foreach(_ => sb.append(boilerBlock()))
+    sb.append("<article>")
+    paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    (before until nBoiler).foreach(_ => sb.append(boilerBlock()))
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  /** One adversarial fixture; ids map 7:3 onto band:inverted. */
+  def adversarialFixture(id: Long, seed: Long = 42L): Fixture = {
+    val corpus = if (id % 10 < 7) "band" else "inverted"
+    val url = s"https://adv-$corpus.example/a/$id"
+    val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(id))
+    val (html, paras) = if (corpus == "band") genBand(rng) else genInverted(rng)
+    val ts = new Timestamp(1700000000000L + (id % 86400000L))
+    Fixture(
+      PageRow(url, ts, html.getBytes(StandardCharsets.UTF_8), paras.headOption.getOrElse(""), "en"),
+      paras.mkString("\n"),
+      corpus)
+  }
+
+  def adversarial(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(adversarialFixture(_, seed))
 }

@@ -26,6 +26,15 @@ object Extract {
       caps: HtmlTokenizer.Caps = HtmlTokenizer.DefaultCaps,
       maxGarbageRatio: Double = 0.10,
       boundaryCrop: Boolean = true,
+      // "contour" (documentContour/Kadane) or "separators" (the
+      // findHoughLineContour alternative, which falls back to contour when
+      // it reports failure — the reference's two-strategy composition,
+      // houghLine.cpp:232-235)
+      boundaryKind: String = "contour",
+      // findOrientation doc-type gate (deskew.cpp:70-136): when on, a 4-way
+      // page-profile decision selects the classifier profile. Off by
+      // default — in the reference deskew is a separate opt-in stage.
+      autoProfile: Boolean = false,
       blockSeparator: String = "\n"
   )
 
@@ -47,10 +56,22 @@ object Extract {
       return quarantine(row.url, Status.NoBlocks, htmlBytes.length, dec.text.length,
         dec.charset, garbage)
     // 3. classify + 4. artifacts + 5. boundary
-    var labels = Classifiers.classify(tok.blocks, cfg.classifier)
+    val clsCfg =
+      if (cfg.autoProfile)
+        graft.detect.Orientation.profileFor(
+          graft.detect.Orientation.detect(tok.blocks).docType, cfg.classifier)
+      else cfg.classifier
+    var labels = Classifiers.classify(tok.blocks, clsCfg)
     labels = Artifacts.all(tok.blocks, labels)
-    if (cfg.boundaryCrop)
-      labels = Boundary(labels, Boundary.find(tok.blocks, labels))
+    if (cfg.boundaryCrop) {
+      val region = cfg.boundaryKind match {
+        case "separators" =>
+          Boundary.findSeparatorFrame(tok.blocks, labels)
+            .orElse(Boundary.find(tok.blocks, labels))
+        case _ => Boundary.find(tok.blocks, labels)
+      }
+      labels = Boundary(labels, region)
+    }
     // 6. assemble + fixpoint canonicalization
     val (text, spans) = assemble(tok.blocks, labels, cfg.blockSeparator)
     val kept = labels.count(identity)

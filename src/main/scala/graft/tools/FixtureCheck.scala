@@ -32,7 +32,17 @@ object FixtureCheck {
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "check"
     val n = if (args.length > 1) args(1).toInt else 500
-    val fixtures = FixtureGen.fixtures(n)
+    // optional: check a non-default classifier kind against ground truth
+    // (e.g. `check 500 - fbcitb`); "-" keeps the default output dir slot
+    val kind = if (args.length > 3) args(3) else "sauvola"
+    // kind may carry a naive-mode suffix "kind:naive" (banded smoothing off)
+    val (kindName, naive) =
+      if (kind.endsWith(":naive")) (kind.stripSuffix(":naive"), true) else (kind, false)
+    val cfg = Extract.Config(classifier = graft.classify.Classifiers.Config(
+      kind = kindName, morphIters = if (naive) 0 else 2))
+    // mode "adv" checks the adversarial corpora instead
+    val fixtures =
+      if (mode == "adv") FixtureGen.adversarial(n) else FixtureGen.fixtures(n)
     var pass = 0
     val failByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val totalByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -40,7 +50,7 @@ object FixtureCheck {
     val lines = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (corpus, jsonLine)
 
     fixtures.foreach { f =>
-      val doc = Extract(f.page)
+      val doc = Extract(f.page, cfg)
       totalByCorpus(f.corpus) += 1
       val ok = doc.extracted_text == f.expected
       if (ok) pass += 1

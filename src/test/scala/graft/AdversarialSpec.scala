@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.classify.Classifiers
+import graft.fixtures.FixtureGen
+import graft.pipeline.Extract
+
+/** Adversarial corpora (VERDICT r1 item 4): threshold-band pages and
+  * inverted-polarity pages, engineered so the NAIVE threshold alone fails
+  * and only the ensemble (confidence-banded smoothing, polarity auto-invert)
+  * or a different classifier kind recovers the ground truth. These pin the
+  * DISCRIMINATION value of the pipeline, not just its plumbing.
+  */
+class AdversarialSpec extends AnyFunSuite {
+
+  private val n = 100
+  private lazy val fixtures = FixtureGen.adversarial(n)
+  private lazy val band = fixtures.filter(_.corpus == "band")
+  private lazy val inverted = fixtures.filter(_.corpus == "inverted")
+
+  private def run(f: FixtureGen.Fixture, kind: String, morphIters: Int = 2): Boolean = {
+    val cfg = Extract.Config(classifier = Classifiers.Config(kind = kind, morphIters = morphIters))
+    Extract(f.page, cfg).extracted_text == f.expected
+  }
+
+  test("band: default classifier recovers ground truth on every page") {
+    assert(band.nonEmpty)
+    band.foreach(f => assert(run(f, "sauvola"), f.page.url))
+  }
+
+  test("band: the naive threshold alone (no banded smoothing) fails everywhere") {
+    // mid-band paragraphs sit below the local window threshold; only the
+    // confidence-banded median post-pass rescues them
+    val failures = band.count(f => !run(f, "sauvola", morphIters = 0))
+    assert(failures == band.length,
+      s"expected naive to fail on all ${band.length} band pages, failed on $failures")
+  }
+
+  test("band: fbcitb (per-region) also recovers ground truth") {
+    band.foreach(f => assert(run(f, "fbcitb"), f.page.url))
+  }
+
+  test("inverted: auto-invert (nativeadaptive) recovers ground truth") {
+    assert(inverted.nonEmpty)
+    inverted.foreach(f => assert(run(f, "nativeadaptive"), f.page.url))
+  }
+
+  test("inverted: the default window threshold keeps the bright linky side") {
+    val failures = inverted.count(f => !run(f, "sauvola"))
+    assert(failures == inverted.length,
+      s"inverted pages must defeat the default kind (failed $failures/${inverted.length})")
+  }
+
+  test("nativeadaptive passes BOTH adversarial corpora (the polarity-safe kind)") {
+    fixtures.foreach(f => assert(run(f, "nativeadaptive"), f.page.url))
+  }
+}
