@@ -84,7 +84,8 @@ object SparkEntry {
     "q_ann_bucketed" -> (R.qAnnBucketed _),
     "q_simhash" -> (R.qSimHash _),
     "q_fingerprint" -> (R.qFingerprint _),
-    // extraction pipeline (rows-only; golden suite is the byte gate)
+    // extraction pipeline (hash-shaped; oracles are frozen golden parquet
+    // tables under /root/repo/golden, see PipelineQueries.goldenOracles)
     "q_extract" -> (PipelineQueries.qExtract _),
     "q_decode_charsets" -> (PipelineQueries.qDecodeCharsets _),
     "q_quarantine" -> (PipelineQueries.qQuarantine _),
@@ -92,21 +93,18 @@ object SparkEntry {
     "q_boundary" -> (PipelineQueries.qBoundary _),
     "q_resume_antijoin" -> (PipelineQueries.qResumeAntiJoin _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
-    "q_extract_niblack" -> (PipelineQueries.classifierVariant("niblack") _),
-    "q_extract_nick" -> (PipelineQueries.classifierVariant("nick") _),
-    "q_extract_wolfjolion" -> (PipelineQueries.classifierVariant("wolfjolion") _),
-    "q_extract_feng" -> (PipelineQueries.classifierVariant("feng") _),
-    "q_extract_meanadaptive" -> (PipelineQueries.classifierVariant("meanadaptive") _),
-    "q_extract_gaussadaptive" -> (PipelineQueries.classifierVariant("gaussadaptive") _),
-    "q_extract_medianmean" -> (PipelineQueries.classifierVariant("medianmean") _),
-    "q_extract_mokji" -> (PipelineQueries.classifierVariant("mokji") _),
-    "q_extract_otsu" -> (PipelineQueries.classifierVariant("otsu") _),
-    "q_extract_nativeadaptive" -> (PipelineQueries.classifierVariant("nativeadaptive") _),
-    "q_extract_agt" -> (PipelineQueries.classifierVariant("agt") _),
-    "q_extract_variances" -> (PipelineQueries.classifierVariant("variances") _),
-    "q_extract_kuwahara" -> (PipelineQueries.classifierVariant("kuwahara") _)
-  )
+    // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
+    "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
+    "q_extract_profiled" -> (PipelineQueries.qExtractProfiled _),
+    "q_orientation" -> (PipelineQueries.qOrientation _),
+    "q_extract_adversarial" -> (PipelineQueries.qExtractAdversarial _)
+  ) ++ PipelineQueries.variantKinds.map { kind =>
+    s"q_extract_$kind" -> (PipelineQueries.classifierVariant(kind) _)
+  }.toMap
 
-  /** DuckDB-runnable oracle SQL (only for the SQL-expressible queries). */
-  def oracleSql: Map[String, String] = Oracles.all
+  /** DuckDB-runnable oracle SQL: relational oracles over the sf tables plus
+    * frozen-golden-table oracles for the pipeline queries.
+    */
+  def oracleSql: Map[String, String] =
+    Oracles.all ++ PipelineQueries.goldenOracles()
 }

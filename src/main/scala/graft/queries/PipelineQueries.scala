@@ -6,27 +6,59 @@ import graft.spark.{ExtractJob, PageSource}
 import graft.pipeline.Extract
 import graft.classify.Classifiers
 
-/** Extraction-pipeline queries over the deterministic fixture corpus —
-  * the non-SQL-expressible operators of SURVEY.md §2 (html decode, tokenize,
-  * full classifier family on real block sequences, boundary, artifacts).
-  * The driver records rows-only checks for these; their real correctness
-  * gate is the golden suite (`sbt -batch test`).
+/** Extraction-pipeline queries over the deterministic fixture corpus — the
+  * non-SQL-expressible operators of SURVEY.md §2 (html decode, tokenize, the
+  * full classifier family on real block sequences, boundary, artifacts,
+  * orientation gate).
+  *
+  * Correctness gate (VERDICT r1 item 1): every query here is HASH-SHAPED —
+  * it emits md5 digests / small integers, and its DuckDB oracle reads the
+  * matching FROZEN golden table under /root/repo/golden/ (written by
+  * `graft.tools.GoldenParquet write`, which refuses to freeze unless the
+  * default pipeline and the adversarial nativeadaptive run are byte-equal to
+  * FixtureGen's independent ground truth — double-entry bookkeeping). The
+  * fixture corpus is per-row deterministic, so Verify reproduces the exact
+  * digests in any session/partitioning.
   */
 object PipelineQueries {
 
   private val N = 400L // fixture docs per query — small but covers all corpora
+  private val AdvN = 200L // adversarial docs (band + inverted)
+
+  /** Queries whose oracle is a frozen golden parquet (name → table file). */
+  val goldenBacked: Seq[String] = Seq(
+    "q_extract", "q_decode_charsets", "q_quarantine", "q_blocks",
+    "q_boundary", "q_resume_antijoin", "q_orientation",
+    "q_extract_adversarial", "q_extract_houghsep", "q_extract_profiled") ++
+    variantKinds.map(k => s"q_extract_$k")
+
+  def variantKinds: Seq[String] = Seq(
+    "niblack", "nick", "wolfjolion", "feng", "meanadaptive", "gaussadaptive",
+    "medianmean", "mokji", "otsu", "localotsu", "nativeadaptive", "agt",
+    "variances", "kuwahara", "fbcitb", "cococlust")
+
+  /** Golden-table oracle SQL for every golden-backed query. */
+  def goldenOracles(goldenDir: String = "/root/repo/golden"): Map[String, String] =
+    goldenBacked.map(n => n -> s"SELECT * FROM read_parquet('$goldenDir/$n.parquet')").toMap
 
   private def docs(spark: SparkSession, cfg: Extract.Config = Extract.Default): DataFrame = {
     val pages = PageSource.pages(spark, N)
     ExtractJob.extract(pages, cfg).toDF()
   }
 
-  /** Full default pipeline: url → extracted text + status + stats. */
+  private def hashShape(df: DataFrame): DataFrame =
+    df.select(col("url"),
+      md5(col("extracted_text").cast("binary")).as("text_md5"),
+      col("status"),
+      col("stats.nBlocks").as("n_blocks"), col("stats.nKept").as("n_kept"))
+
+  /** Full default pipeline: url → extraction digest + stats. */
   def qExtract(spark: SparkSession, dir: String): DataFrame =
-    docs(spark)
-      .select(col("url"), col("status"), col("extracted_text"),
-        col("stats.nBlocks").as("n_blocks"), col("stats.nKept").as("n_kept"),
-        col("stats.charset").as("charset"))
+    docs(spark).select(col("url"),
+      md5(col("extracted_text").cast("binary")).as("text_md5"),
+      col("status"),
+      col("stats.nBlocks").as("n_blocks"), col("stats.nKept").as("n_kept"),
+      col("stats.charset").as("charset"))
       .orderBy("url")
 
   /** Charset-detection distribution (formatConvert edge). */
@@ -49,21 +81,57 @@ object PipelineQueries {
       val toks = graft.html.HtmlTokenizer(dec.text)
       val sig = Classifiers.signal(toks.blocks)
       (p.url, toks.blocks.length,
-        if (sig.isEmpty) 0.0 else sig.max,
+        if (sig.isEmpty) 0L else sig.max.toLong,
         sig.count(_ >= 255.0),
         toks.blocks.count(b => Classifiers.linkDensity(b) > 0.66))
     }.toDF("url", "n_blocks", "max_signal", "n_saturated", "n_linkdense")
       .orderBy("url")
   }
 
-  /** One query per classifier kind — the 16-algorithm family breadth
-    * (§2.3) exercised on real block sequences.
+  /** One query per classifier kind — the full §2.3 family breadth exercised
+    * on real block sequences, each against its frozen per-kind golden.
     */
   def classifierVariant(kind: String)(spark: SparkSession, dir: String): DataFrame = {
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = kind))
-    docs(spark, cfg)
-      .select(col("url"), col("stats.nKept").as("n_kept"), col("stats.nBlocks").as("n_blocks"))
-      .orderBy("url")
+    hashShape(docs(spark, cfg)).drop("status").orderBy("url")
+  }
+
+  /** findHoughLineContour analogue: separator-frame boundary with contour
+    * fallback (§2.4).
+    */
+  def qExtractHoughSep(spark: SparkSession, dir: String): DataFrame =
+    hashShape(docs(spark, Extract.Config(boundaryKind = "separators")))
+      .drop("status").orderBy("url")
+
+  /** findOrientation-gated pipeline: the 4-way doc-type decision selects the
+    * classifier profile (deskew.cpp:70-136).
+    */
+  def qExtractProfiled(spark: SparkSession, dir: String): DataFrame =
+    hashShape(docs(spark, Extract.Config(autoProfile = true)))
+      .drop("status").orderBy("url")
+
+  /** The orientation decision itself (url → doc type + confidences). */
+  def qOrientation(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.pages(spark, N)
+    import pages.sparkSession.implicits._
+    pages.map { p =>
+      val dec = graft.html.Decode(p.html)
+      val toks = graft.html.HtmlTokenizer(dec.text)
+      val d = graft.detect.Orientation.detect(toks.blocks)
+      (p.url, d.docType,
+        math.round(d.textConf * 10000), math.round(d.linkConf * 10000))
+    }.toDF("url", "doc_type", "text_conf_e4", "link_conf_e4").orderBy("url")
+  }
+
+  /** Adversarial corpora under the polarity-safe kind: band + inverted pages
+    * extracted with nativeadaptive (auto-invert). The golden is frozen from
+    * FixtureGen's independent ground truth, so this row is a TRUE
+    * double-entry oracle on the hardest corpus.
+    */
+  def qExtractAdversarial(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.adversarialPages(spark, AdvN)
+    val cfg = Extract.Config(classifier = Classifiers.Config(kind = "nativeadaptive"))
+    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
   }
 
   /** Boundary regions found per doc (autoCrop analogue §2.4). */
@@ -81,9 +149,6 @@ object PipelineQueries {
     }.toDF("url", "lo", "hi", "found").orderBy("url")
   }
 
-  /** Resume anti-join shape (north-rule checkpoint-resume): pretend the
-    * first half is committed, extract only the remainder.
-    */
   /** Multimodal binary-column plumbing (graft.ops.Multimodal): synthesize a
     * deterministic PNG container per doc, parse its header back in a typed
     * map — real bytes, real parser, real schema; pixel decode stays a
@@ -104,6 +169,9 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Resume anti-join shape (north-rule checkpoint-resume): pretend the
+    * first half is committed, extract only the remainder.
+    */
   def qResumeAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = PageSource.pages(spark, N)

@@ -24,4 +24,15 @@ object PageSource {
       ids.map(id => FixtureGen.fixture(id, seed).page)
     }
   }
+
+  /** Adversarial corpus twin (threshold-band + inverted-polarity pages). */
+  def adversarialPages(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+    else spark.sparkContext.defaultParallelism * 2
+    spark.range(0L, n, 1L, parts).mapPartitions { ids =>
+      ids.map(id => FixtureGen.adversarialFixture(id, seed).page)
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Freezes the golden oracle tables under /root/repo/golden/ — one parquet
+  * per golden-backed pipeline query (PipelineQueries.goldenBacked). The
+  * driver's DuckDB oracle reads these via `read_parquet(...)`, which puts
+  * the whole extraction core under the hard rows+schema+hash gate
+  * (VERDICT r1 item 1).
+  *
+  * Double-entry safety (the same contract as FixtureCheck write): freezing
+  * REFUSES unless
+  *   1. the default pipeline is byte-identical to FixtureGen's independent
+  *      ground truth on the standard corpus, and
+  *   2. the adversarial corpus under the polarity-safe kind (nativeadaptive)
+  *      is byte-identical to ITS ground truth.
+  * Per-kind variant goldens are frozen pipeline output (regression gates);
+  * the two checks above anchor the family to generator ground truth.
+  *
+  * Usage: sbt "runMain graft.tools.GoldenParquet write [goldenDir]"
+  */
+object GoldenParquet {
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "check"
+    val goldenDir = if (args.length > 1) args(1) else "/root/repo/golden"
+
+    // ---- double-entry gates (pure, no Spark needed)
+    var bad = 0
+    graft.fixtures.FixtureGen.fixtures(400).foreach { f =>
+      if (graft.pipeline.Extract(f.page).extracted_text != f.expected) bad += 1
+    }
+    require(bad == 0, s"REFUSING: default pipeline != ground truth on $bad/400 fixtures")
+    val advCfg = graft.pipeline.Extract.Config(
+      classifier = graft.classify.Classifiers.Config(kind = "nativeadaptive"))
+    graft.fixtures.FixtureGen.adversarial(200).foreach { f =>
+      if (graft.pipeline.Extract(f.page, advCfg).extracted_text != f.expected) bad += 1
+    }
+    require(bad == 0, s"REFUSING: adversarial nativeadaptive != ground truth on $bad/200")
+    println("double-entry gates green (400 standard + 200 adversarial)")
+    if (mode != "write") return
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get(goldenDir))
+    val queries = graft.SparkEntry.queries
+    graft.queries.PipelineQueries.goldenBacked.foreach { name =>
+      val tmp = s"/tmp/golden_stage_$name"
+      queries(name)(spark, "/root/testdata/sf0.001")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $name"))
+      Files.copy(part.toPath, Paths.get(goldenDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      println(s"froze $name.parquet")
+    }
+    spark.stop()
+    println(s"golden tables written to $goldenDir")
+  }
+}
