@@ -2,17 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.LongAdder
 import graft.spark.{ExtractJob, PageSource}
 
-/** Bench harness (driver-run → BENCH_r{N}.json; protocol in BASELINE.md).
+/** Bench harness (driver-run → BENCH_r{N}.json; protocol in BENCH/BASELINE.md).
   *
   * Measures (1) the north-rule metric — extraction throughput in docs/sec
   * and GB/sec of raw html over a pre-materialized parquet corpus — and
   * (2) wall time of headline operator queries at the given SF dir.
-  * Prints ONE JSON line.
+  *
+  * Contention-robust by construction (VERDICT r1 item 2): this sandbox
+  * shares a VM with bursty tenants (single-shot walls vary up to 30×), so
+  * the harness runs best-of-N passes ITSELF and reports, per measurement,
+  * best wall + median summed executor CPU time (CPU time is level-invariant
+  * under contention and is the cross-check that best-wall is not luck).
+  * Query failures are RECORDED (`errors` field), never swallowed — a broken
+  * query must not look fast. The final JSON line is printed raw to stdout
+  * (build.sbt routes forked stdout unwrapped) AND written to
+  * BENCH/bench_out.json for the driver.
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4),
-  *      SPARK_GRAFT_BENCH_DOCS (default 120000).
+  *      SPARK_GRAFT_BENCH_DOCS (default 300000),
+  *      SPARK_GRAFT_BENCH_PASSES (default 5 extraction / 2 queries).
   */
 object Bench {
 
@@ -22,20 +34,52 @@ object Bench {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    // CPU-bound scan: extraction costs ~2-3 ms/doc (~0.5 GB/s/core of html
-    // is NOT the bottleneck), so split size must target task-count ≈ 2-4×
-    // cores, not HDFS-block economics. Default 128 MB splits turn a 240 MB
-    // corpus into 2 tasks and idle 30/32 cores. Same tuning applies on a
-    // real cluster: files.maxPartitionBytes sized so scan tasks ≫ executors.
+    // CPU-bound scan: extraction costs ~0.3-0.5 ms/doc (~0.5 GB/s/core of
+    // html is NOT the bottleneck), so split size must target task-count ≈
+    // 2-4× cores, not HDFS-block economics. Default 128 MB splits turn a
+    // 240 MB corpus into 2 tasks and idle 30/32 cores. Same tuning applies
+    // on a real cluster: files.maxPartitionBytes sized so scan tasks ≫
+    // executor count.
     .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
     .getOrCreate()
 
-  /** Pre-materialize the bench corpus once (generation cost must not
-    * pollute the throughput measurement; the measured job is read parquet →
-    * extract → aggregate, exactly the north-rule job shape).
+  /** Sums executor CPU-time/run-time over all tasks between reset() calls —
+    * the contention-robust companion metric (wall degrades 30× under tenant
+    * bursts; summed CPU stays level).
+    */
+  final class CpuMeter extends SparkListener {
+    private val cpu = new LongAdder
+    private val run = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskMetrics != null) {
+        cpu.add(t.taskMetrics.executorCpuTime) // nanos
+        run.add(t.taskMetrics.executorRunTime * 1000000L) // millis → nanos
+      }
+    }
+    def reset(): Unit = { cpu.reset(); run.reset() }
+    def cpuSec: Double = cpu.sum() / 1e9
+    def runSec: Double = run.sum() / 1e9
+  }
+
+  /** Fingerprint of everything that determines bench-input content; a stale
+    * cached corpus is impossible as long as generator changes bump this
+    * (ADVICE r1: cache keyed only by doc count reused outdated input).
+    */
+  def inputFingerprint(n: Long): String = {
+    val probe = graft.fixtures.FixtureGen.fixtures(3)
+      .map(f => f.page.url + ":" + f.page.html.length + ":" + f.expected.hashCode)
+      .mkString("|")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((probe + "#" + n).getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Pre-materialize the bench corpus once (generation cost must not pollute
+    * the throughput measurement; the measured job is read parquet → extract
+    * → aggregate, exactly the north-rule job shape).
     */
   def ensureInput(spark: SparkSession, n: Long): String = {
-    val path = s"/tmp/graft_bench_input_$n"
+    val path = s"/tmp/graft_bench_input_${n}_${inputFingerprint(n)}"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       PageSource.pages(spark, n, partitions = 64).write.mode("overwrite").parquet(path)
     }
@@ -55,45 +99,106 @@ object Bench {
     (sec, agg.getLong(0), agg.getLong(1))
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.length - 1) / 2)
+  }
+
+  private def jq(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    val extractPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    val queryPasses = 2
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new CpuMeter
+    spark.sparkContext.addSparkListener(meter)
 
-    // --- headline operator queries on the SF tables
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // --- headline operator queries on the SF tables. ANN headline is the
+    // LSH-bucketed path (the 100 TB shape); brute-force cross-join cosine
+    // stays a small-sf verification query only (VERDICT r1 item 6).
     val headline = Seq(
       "q_sauvola", "q_window_stats", "q_wolfjolion", "q_otsu", "q_minhash",
-      "q_ngram_jaccard", "q_dedup_exact", "q_ann_topk", "q_lsh_bucket",
-      "q_golden_join", "q_event_windows", "q_topk", "q_quality_scores")
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      "q_ngram_jaccard", "q_dedup_exact", "q_ann_bucketed", "q_lsh_bucket",
+      "q_golden_join", "q_event_windows", "q_topk", "q_quality_scores",
+      "q_extract")
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      val cpus_ = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var pass = 0
+      while (pass < queryPasses && !errors.contains(name)) {
+        meter.reset()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) best = sec
+          cpus_ += meter.cpuSec
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(160)
+        }
+        pass += 1
+      }
+      if (!errors.contains(name)) {
+        results(name) = best
+        cpuSecs(name) = median(cpus_.toSeq)
+      }
     }
 
-    // --- extraction throughput (the north-rule metric)
+    // --- extraction throughput (the north-rule metric): 2 warmup passes
+    // (C2 needs ~10^5 row-iterations to reach steady state), then best-of-N
+    // wall + median CPU across the measured passes.
     val input = ensureInput(spark, benchDocs)
-    // two warmup passes: C2 needs ~10^5 row-iterations before the tokenizer
-    // and codegen'd (de)serializers reach steady state (measured: pass1 21s,
-    // pass3 3.6s on the same 40k docs) — report steady-state throughput
     extractionRun(spark, input)
     extractionRun(spark, input)
-    val (sec, docs, bytes) = extractionRun(spark, input)
-    results("extract_bench") = sec
-    val docsPerSec = docs / sec
-    val gbPerSec = bytes / sec / 1e9
+    var bestSec = Double.MaxValue
+    var docs = 0L
+    var bytes = 0L
+    val extractCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until extractPasses).foreach { _ =>
+      meter.reset()
+      val (sec, d, b) = extractionRun(spark, input)
+      if (sec < bestSec) { bestSec = sec; docs = d; bytes = b }
+      extractCpu += meter.cpuSec
+    }
+    results("extract_bench") = bestSec
+    cpuSecs("extract_bench") = median(extractCpu.toSeq)
+    val docsPerSec = docs / bestSec
+    val gbPerSec = bytes / bestSec / 1e9
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val cq = cpuSecs.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val eq = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""cpu_sec":$cq,"errors":$eq,"sf":${jq(sfDir)},""" +
         s""""extract_docs":$docs,"extract_docs_per_sec":${f"$docsPerSec%.1f"},""" +
-        s""""extract_gb_per_sec":${f"$gbPerSec%.4f"},"parallelism":"$cpus"}""")
+        s""""extract_gb_per_sec":${f"$gbPerSec%.4f"},"extract_passes":$extractPasses,""" +
+        s""""parallelism":${jq(cpus)}}"""
+    // file copy for the driver (stdout may be wrapped by the build tool)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench_out.json"), json + "\n")
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

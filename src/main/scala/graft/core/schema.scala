@@ -77,6 +77,7 @@ final case class LineageRow(
     run_id: String,
     snapshot_id: Long,
     partition_id: Int,
+    attempt: Int, // task attempt number — retries/speculation dedupe key
     doc_count: Long,
     html_bytes: Long,
     text_bytes: Long,

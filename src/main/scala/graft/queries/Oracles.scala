@@ -473,9 +473,14 @@ object Oracles {
         |  SELECT id, 0 AS band, m0 || m1 AS band_key FROM sig UNION ALL
         |  SELECT id, 1, m2 || m3 FROM sig UNION ALL
         |  SELECT id, 2, m4 || m5 FROM sig UNION ALL
-        |  SELECT id, 3, m6 || m7 FROM sig)
+        |  SELECT id, 3, m6 || m7 FROM sig),
+        |admitted AS (
+        |  SELECT band, band_key FROM banded
+        |  GROUP BY band, band_key HAVING count(*) <= 10000)
         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+        |FROM banded a
+        |JOIN admitted ad ON a.band = ad.band AND a.band_key = ad.band_key
+        |JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
         |WHERE a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
 

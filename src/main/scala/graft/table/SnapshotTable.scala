@@ -62,9 +62,28 @@ object SnapshotTable {
     commitRun(dir, runId)
   }
 
+  /** Row count of a parquet file from its FOOTER metadata only (no data
+    * pages read) — how Iceberg manifests carry counts; the commit cost is
+    * O(files of the run), never a table scan.
+    */
+  def parquetRowCount(file: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rd.getRecordCount finally rd.close()
+  }
+
   /** Commit whatever data files exist under run=<runId> as a new snapshot
     * (split from [[append]] so tests can simulate a kill between write and
     * commit).
+    *
+    * Concurrency (ADVICE r1): the manifest is created with CREATE_NEW —
+    * two concurrent committers race on the same v<id> name, the loser gets
+    * FileAlreadyExistsException, re-reads the new current snapshot and
+    * retries with the next id (optimistic CAS). Re-committing an
+    * already-committed runId is rejected (duplicate data files would be
+    * double-counted).
     */
   def commitRun(dir: String, runId: String): Snapshot = {
     val runPath = Paths.get(dir, "data", s"run=$runId")
@@ -74,26 +93,45 @@ object SnapshotTable {
           .filter(p => p.toString.endsWith(".parquet"))
           .map(_.toString).toSeq.sorted
       else Seq.empty
-    val prev = currentSnapshot(dir)
-    val id = prev.map(_.id + 1).getOrElse(1L)
-    val files = prev.map(_.files).getOrElse(Seq.empty) ++ newFiles
-    val runIds = prev.map(_.runIds).getOrElse(Seq.empty) :+ runId
-    val snap = Snapshot(id, files, -1L, runIds)
-    Files.createDirectories(snapDir(dir))
-    val name = f"v$id%05d.json"
-    val json = {
-      val fs = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString("[", ",", "]")
-      val rs = runIds.map(r => "\"" + r + "\"").mkString("[", ",", "]")
-      s"""{"snapshot_id":$id,"files":$fs,"rows":-1,"run_ids":$rs,"committed_at_ms":${System.currentTimeMillis()}}"""
+    val newRows = newFiles.map(parquetRowCount).sum
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = currentSnapshot(dir)
+      require(!prev.exists(_.runIds.contains(runId)),
+        s"runId '$runId' is already committed in snapshot ${prev.map(_.id).getOrElse(-1L)}")
+      val id = prev.map(_.id + 1).getOrElse(1L)
+      val files = prev.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val runIds = prev.map(_.runIds).getOrElse(Seq.empty) :+ runId
+      // rows propagate only when the whole history is counted (-1 = unknown
+      // legacy manifest; never silently under-report)
+      val rows = prev match {
+        case Some(s) if s.rows < 0 => -1L
+        case Some(s) => s.rows + newRows
+        case None => newRows
+      }
+      val snap = Snapshot(id, files, rows, runIds)
+      Files.createDirectories(snapDir(dir))
+      val name = f"v$id%05d.json"
+      val json = {
+        val fs = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString("[", ",", "]")
+        val rs = runIds.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+        s"""{"snapshot_id":$id,"files":$fs,"rows":$rows,"run_ids":$rs,"committed_at_ms":${System.currentTimeMillis()}}"""
+      }
+      try {
+        // CREATE_NEW: the manifest name is the CAS token
+        Files.write(snapDir(dir).resolve(name), json.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        val ptrTmp = snapDir(dir).resolve(s"current.$runId.tmp")
+        Files.write(ptrTmp, name.getBytes(StandardCharsets.UTF_8))
+        Files.move(ptrTmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-read current, retry with next id
+      }
     }
-    val tmp = snapDir(dir).resolve(name + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapDir(dir).resolve(name), StandardCopyOption.REPLACE_EXISTING)
-    val ptrTmp = snapDir(dir).resolve("current.tmp")
-    Files.write(ptrTmp, name.getBytes(StandardCharsets.UTF_8))
-    Files.move(ptrTmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    snap
+    sys.error(s"commitRun: lost the snapshot CAS race 64 times (dir=$dir)")
   }
 
   /** Read the committed table (empty DataFrame with no snapshot). */

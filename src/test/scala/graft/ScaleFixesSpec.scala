@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.LineageRow
+import graft.spark.ExtractJob
+import graft.table.SnapshotTable
+import java.nio.file.Files
+
+/** Round-2 scale-correctness fixes: LSH degenerate-band cap, lineage
+  * retry dedupe, manifest row counts, commit CAS, streaming facade
+  * batch/stream identity.
+  */
+class ScaleFixesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("lshCandidates: degenerate band (thousands of identical docs) is capped") {
+    import spark.implicits._
+    // 2000 identical docs + 6 genuine near-dup docs
+    val identical = (0 until 2000).map(i => (i.toLong, "the same exact boilerplate text repeated verbatim"))
+    val near = (10000 until 10006).map(i => (i.toLong, s"unique document body with shared tail marker alpha beta gamma delta ${i % 2}"))
+    val df = (identical ++ near).toDF("id", "text")
+    val pairs = graft.ops.Dedup.lshCandidates(df, "id", "text", maxBandSize = 100)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 2000-doc cluster would alone generate ~2M pairs; the cap drops it
+    assert(got.forall { case (a, b) => a >= 10000 && b >= 10000 },
+      s"capped run must only pair the small cluster, got ${got.size} pairs")
+    assert(got.nonEmpty, "near-dup docs sharing half their tokens must still pair")
+    // audit view reports the dropped bands
+    val dropped = graft.ops.Dedup.oversizedBands(df, "id", "text", maxBandSize = 100)
+      .collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 2000L))
+    // exact-dedup-first composition: collapse exact dups, then LSH is tiny
+    val canon = graft.ops.Dedup.exact(df, "id", "text")
+      .filter(col("is_canonical")).select("id", "text")
+    assert(canon.count() == 3) // 1 canonical boilerplate + 2 distinct texts
+  }
+
+  test("lineage dedupe: retried partition supersedes, never adds") {
+    val t = new java.sql.Timestamp(0L)
+    val rows = Seq(
+      LineageRow("r1", -1, 0, 0, 100, 1000, 500, 1, Map.empty, t),
+      LineageRow("r1", -1, 0, 1, 100, 1000, 500, 1, Map.empty, t), // retry of pid 0
+      LineageRow("r1", -1, 1, 0, 50, 600, 300, 0, Map.empty, t),
+      LineageRow("r2", -1, 0, 0, 10, 90, 40, 0, Map.empty, t))
+    val deduped = ExtractJob.dedupeLineage(rows)
+    assert(deduped.length == 3)
+    assert(deduped.map(_.doc_count).sum == 160) // 100 + 50 + 10, NOT 260
+    assert(deduped.find(l => l.run_id == "r1" && l.partition_id == 0).get.attempt == 1)
+  }
+
+  test("manifest carries exact row counts from parquet footers; no table scan needed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaprows").toString
+    val s1 = SnapshotTable.append(
+      (0 until 37).map(i => (s"u$i", s"t$i")).toDF("url", "body"), dir, "runA", buckets = 4)
+    assert(s1.rows == 37L)
+    val s2 = SnapshotTable.append(
+      (100 until 150).map(i => (s"u$i", s"t$i")).toDF("url", "body"), dir, "runB", buckets = 4)
+    assert(s2.rows == 87L)
+    // the persisted manifest agrees (not just the in-memory return)
+    assert(SnapshotTable.currentSnapshot(dir).get.rows == 87L)
+    // lineage doc_count == manifest rows under a normal run
+    val pages = graft.spark.PageSource.pages(spark, 40L)
+    val acc = ExtractJob.newLineageAcc(spark, "lin-test")
+    val docs = ExtractJob.extract(pages, runId = "runC", lineageAcc = acc)
+    val dir2 = Files.createTempDirectory("snaprows2").toString
+    val s3 = SnapshotTable.append(docs.toDF().select(col("url"), col("extracted_text")), dir2, "runC", buckets = 4)
+    import scala.jdk.CollectionConverters._
+    val lineageDocs = ExtractJob.dedupeLineage(acc.value.asScala.toSeq).map(_.doc_count).sum
+    assert(s3.rows == 40L && lineageDocs == 40L)
+  }
+
+  test("re-committing an already-committed runId is rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snapcas").toString
+    SnapshotTable.append((0 until 5).map(i => (s"u$i", "b")).toDF("url", "body"), dir, "dup")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.commitRun(dir, "dup")
+    }
+    assert(ex.getMessage.contains("already committed"))
+  }
+
+  test("streaming facade: AvailableNow round-trip is byte-identical to batch") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("streamin").toString
+    val outDir = Files.createTempDirectory("streamout").toString + "/out"
+    val ckDir = Files.createTempDirectory("streamck").toString
+    val pages = graft.spark.PageSource.pages(spark, 60L)
+    pages.write.mode("overwrite").parquet(inDir)
+
+    val stream = graft.streaming.ExtractStream.extract(
+      graft.streaming.ExtractStream.pagesStream(spark, inDir))
+    val q = graft.streaming.ExtractStream.writer(stream, outDir, ckDir).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outDir)
+      .select(col("url"), col("extracted_text")).as[(String, String)]
+      .collect().toMap
+    val batch = ExtractJob.extract(pages).toDF()
+      .select(col("url"), col("extracted_text")).as[(String, String)]
+      .collect().toMap
+    assert(streamed.size == 60 && batch.size == 60)
+    batch.foreach { case (url, text) =>
+      assert(streamed(url) == text, s"stream/batch divergence at $url")
+    }
+  }
+}
