@@ -84,6 +84,9 @@ object SparkEntry {
     "q_ann_bucketed" -> (R.qAnnBucketed _),
     "q_simhash" -> (R.qSimHash _),
     "q_fingerprint" -> (R.qFingerprint _),
+    // cross-doc site-template removal (cleanBackgroundToWhite analogue)
+    "q_template_chrome" -> (R.qTemplateChrome _),
+    "q_template_strip" -> (R.qTemplateStrip _),
     // extraction pipeline (hash-shaped; oracles are frozen golden parquet
     // tables under /root/repo/golden, see PipelineQueries.goldenOracles)
     "q_extract" -> (PipelineQueries.qExtract _),

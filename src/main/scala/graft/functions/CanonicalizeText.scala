@@ -61,5 +61,7 @@ object GraftFunctions {
       "graft_canon", exprs => CanonicalizeText(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_skeleton", exprs => SkeletonText(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quality_counts", exprs => TextQualityCounts(exprs.head), "scala_udf")
   }
 }

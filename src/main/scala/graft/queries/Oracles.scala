@@ -518,6 +518,35 @@ object Oracles {
         |  cast(10000 AS BIGINT) AS feat_sum_e4
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_template_chrome" ->
+      """WITH u AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS unit FROM documents),
+        |du AS (SELECT DISTINCT source, doc_id, unit FROM u),
+        |tot AS (SELECT source, count(DISTINCT doc_id) AS n_total FROM documents GROUP BY source)
+        |SELECT du.source, du.unit, count(*) AS n_docs
+        |FROM du JOIN tot ON du.source = tot.source
+        |GROUP BY du.source, du.unit, tot.n_total
+        |HAVING count(*) >= 2 AND count(*) >= 0.8 * tot.n_total
+        |ORDER BY du.source, du.unit""".stripMargin,
+
+    "q_template_strip" ->
+      """WITH u AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS unit FROM documents),
+        |du AS (SELECT DISTINCT source, doc_id, unit FROM u),
+        |tot AS (SELECT source, count(DISTINCT doc_id) AS n_total FROM documents GROUP BY source),
+        |chrome AS (
+        |  SELECT du.source, du.unit FROM du JOIN tot ON du.source = tot.source
+        |  GROUP BY du.source, du.unit, tot.n_total
+        |  HAVING count(*) >= 2 AND count(*) >= 0.8 * tot.n_total),
+        |strip AS (
+        |  SELECT u.doc_id, count(*) AS n_after
+        |  FROM u LEFT JOIN chrome c ON u.source = c.source AND u.unit = c.unit
+        |  WHERE c.unit IS NULL GROUP BY u.doc_id)
+        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_before,
+        |       coalesce(s.n_after, 0) AS n_after
+        |FROM documents d LEFT JOIN strip s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_event_windows" ->
       """SELECT event_type, cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
         |       count(*) AS n, round(sum(value), 2) AS sum_value

@@ -283,14 +283,19 @@ object RelationalQueries {
 
   // ----------------------------------------------------- §2.7 detectors
 
-  def qQualityScores(spark: SparkSession, dir: String): DataFrame =
+  def qQualityScores(spark: SparkSession, dir: String): DataFrame = {
+    // fused one-pass native counters (graft.functions.TextQualityCounts)
+    // instead of three regexp_replace full passes per document
+    graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
-      .withColumn("len", length($c("text")).cast("double"))
+      .withColumn("_qc", expr("graft_quality_counts(text)"))
+      .withColumn("len", element_at($c("_qc"), 1).cast("double"))
       .select($c("doc_id"),
-        round(length(regexp_replace($c("text"), "[^.,!?;:]", "")) / $c("len"), 4).as("punct_ratio"),
-        round(length(regexp_replace($c("text"), "[^0-9]", "")) / $c("len"), 4).as("digit_ratio"),
-        round((($c("len") - length(regexp_replace($c("text"), " ", "")))) / $c("len"), 4).as("ws_ratio"))
+        round(element_at($c("_qc"), 3) / $c("len"), 4).as("punct_ratio"),
+        round(element_at($c("_qc"), 4) / $c("len"), 4).as("digit_ratio"),
+        round(element_at($c("_qc"), 6) / $c("len"), 4).as("ws_ratio"))
       .orderBy("doc_id")
+  }
 
   def qLangGate(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy($c("lang")).agg(count(lit(1)).as("n")).orderBy("lang")
@@ -483,6 +488,30 @@ object RelationalQueries {
       .select($c("doc_id"),
         aggregate($c("chars"), lit(7L),
           (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+
+  /** Cross-document template chrome (cleanBackgroundToWhite.cpp:40-65
+    * analogue, graft.ops.TemplateChrome): units recurring in >= 80% of a
+    * source's documents. Units here are tokens (the documents table is
+    * single-line); for extraction output the same op runs on text lines.
+    */
+  def qTemplateChrome(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TemplateChrome.recurringUnits(
+      docs(spark, dir).withColumn("units", split($c("text"), " ")),
+      "source", "doc_id", "units", minDocs = 2, minFrac = 0.8)
+      .select($c("source"), $c("unit"), $c("n_docs").cast("long").as("n_docs"))
+      .orderBy("source", "unit")
+
+  /** Strip pass of the same operator: per-doc token counts before/after
+    * chrome removal (zero-shuffle HOF filter against the broadcast set).
+    */
+  def qTemplateStrip(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TemplateChrome.strip(
+      docs(spark, dir).withColumn("units", split($c("text"), " ")),
+      "source", "doc_id", "units")
+      .select($c("doc_id"),
+        size($c("units")).cast("long").as("n_before"),
+        size($c("units_clean")).cast("long").as("n_after"))
       .orderBy("doc_id")
 
   /** Sessionization over the events stream (gaps-and-islands, 30-min gap) —

@@ -88,6 +88,53 @@ class ScaleFixesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("already committed"))
   }
 
+  test("fused quality counters match the regex formulation exactly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      "Hello, World! 42 is THE answer; really?",
+      "one  two\tthree\nfour", "", "...", "a",
+      "MiXeD CaSe with:   punct, and 123 digits!")
+      .toDF("text")
+    val fused = graft.ops.TextStats.qualityScores(texts, "text")
+      .select("n_chars", "n_tokens", "punct_ratio", "digit_ratio",
+        "upper_ratio", "ws_ratio", "mean_token_len").collect()
+    val t = col("text")
+    val len = greatest(length(t), lit(1)).cast("double")
+    val tokCnt = size(filter(split(t, "\\s+"), x => x =!= ""))
+    val regex = texts
+      .select(length(t).as("n_chars"), tokCnt.as("n_tokens"),
+        round(length(regexp_replace(t, "[^.,!?;:]", "")) / len, 4).as("punct_ratio"),
+        round(length(regexp_replace(t, "[^0-9]", "")) / len, 4).as("digit_ratio"),
+        round(length(regexp_replace(t, "[^A-Z]", "")) / len, 4).as("upper_ratio"),
+        // count-spaces formulation: equals the old (len - stripped)/len on
+        // non-empty strings and avoids its floored-len artifact (ws=1.0) on ""
+        round(length(regexp_replace(t, "[^ ]", "")) / len, 4).as("ws_ratio"),
+        round(length(regexp_replace(t, "\\s+", "")) /
+          greatest(tokCnt, lit(1)).cast("double"), 4).as("mean_token_len"))
+      .collect()
+    fused.zip(regex).foreach { case (f, r) => assert(f == r) }
+  }
+
+  test("template chrome: per-host recurring units found and stripped, zero big-side shuffle") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "hA", Seq("nav", "menu", "unique0", "body0")),
+      (1L, "hA", Seq("nav", "menu", "body1")),
+      (2L, "hA", Seq("nav", "menu", "body2", "nav")),
+      (3L, "hB", Seq("other", "text")),
+      (4L, "hB", Seq("different", "words"))
+    ).toDF("id", "host", "units")
+    val chrome = graft.ops.TemplateChrome.recurringUnits(df, "host", "id", "units")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(chrome == Set(("hA", "nav"), ("hA", "menu")))
+    val stripped = graft.ops.TemplateChrome.strip(df, "host", "id", "units")
+      .select("id", "units_clean").as[(Long, Seq[String])].collect().toMap
+    assert(stripped(0L) == Seq("unique0", "body0"))
+    assert(stripped(2L) == Seq("body2")) // multiplicity removed with the unit
+    assert(stripped(3L) == Seq("other", "text")) // hB has no chrome
+  }
+
   test("streaming facade: AvailableNow round-trip is byte-identical to batch") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("streamin").toString
