@@ -74,6 +74,17 @@ object HtmlTokenizer {
     val stack = new ArrayBuffer[String](32)
     var anchorDepth = 0
     var suppressDepth = 0
+    // tagPath cache: stack.mkString is per-BLOCK cost; most blocks share the
+    // stack of their predecessor, so rebuild only after a stack mutation
+    var cachedPath: String = ""
+    var cachedPathValid = true // empty stack -> ""
+    def currentPath(): String = {
+      if (!cachedPathValid) {
+        cachedPath = stack.mkString("/")
+        cachedPathValid = true
+      }
+      cachedPath
+    }
 
     // current block accumulator
     val raw = new java.lang.StringBuilder(256)
@@ -100,7 +111,7 @@ object HtmlTokenizer {
     def appendText(s: String, srcStart: Int, srcEnd: Int, oneToOne: Boolean): Unit = {
       if (suppressDepth > 0) return
       if (raw.length == 0 && blockPath.isEmpty) {
-        blockPath = stack.mkString("/")
+        blockPath = currentPath()
         blockDepth = stack.length
       }
       beginLinkRunIfNeeded()
@@ -134,9 +145,18 @@ object HtmlTokenizer {
           while (r < linkRuns.length) {
             val (s, e) = linkRuns(r)
             if (e > s) {
-              val seg = Canon(raw.substring(s, e))
-              linkChars += seg.length
-              linkTokens += Canon.tokenCount(seg)
+              // ASCII fast path: count the canonical chars/tokens of the run
+              // without materializing Canon(substring) (same rules; Canon
+              // fallback for non-ASCII where NFC could apply)
+              val packed = canonCountAscii(raw, s, e)
+              if (packed >= 0) {
+                linkChars += (packed >>> 32).toInt
+                linkTokens += (packed & 0xffffffffL).toInt
+              } else {
+                val seg = Canon(raw.substring(s, e))
+                linkChars += seg.length
+                linkTokens += Canon.tokenCount(seg)
+              }
             }
             r += 1
           }
@@ -165,6 +185,7 @@ object HtmlTokenizer {
     def pushElem(name: String): Unit = {
       if (stack.length < caps.maxDepth) {
         stack += name
+        cachedPathValid = false
         if (name == "a") anchorDepth += 1
         if (suppressTags.contains(name)) suppressDepth += 1
       } else truncated = true
@@ -174,6 +195,7 @@ object HtmlTokenizer {
       var j = stack.length - 1
       while (j >= 0 && stack(j) != name) j -= 1
       if (j >= 0) {
+        cachedPathValid = false
         var k = stack.length - 1
         while (k >= j) {
           val popped = stack.remove(k)
@@ -289,6 +311,35 @@ object HtmlTokenizer {
     if (i < html.length) truncated = true
     flush()
     Result(blocks.toArray, truncated)
+  }
+
+  /** Canonical (chars, tokens) of `sb[s, e)` under Canon's exact rules for
+    * ASCII content, WITHOUT building the canonical string: whitespace runs
+    * collapse to one space (leading/trailing dropped), other control chars
+    * removed. Returns -1 when a non-ASCII char is present (NFC could apply
+    * — caller falls back to Canon). Packed (chars << 32 | tokens).
+    */
+  private def canonCountAscii(sb: java.lang.StringBuilder, s: Int, e: Int): Long = {
+    var chars = 0
+    var spaces = 0
+    var pendingSpace = false
+    var i = s
+    while (i < e) {
+      val c = sb.charAt(i)
+      if (c >= 0x80) return -1L
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b) {
+        pendingSpace = true
+      } else if (c < ' ' || c == 0x7f) {
+        () // control: removed
+      } else {
+        if (pendingSpace && chars > 0) { spaces += 1; chars += 1 }
+        pendingSpace = false
+        chars += 1
+      }
+      i += 1
+    }
+    val tokens = if (chars == 0) 0 else spaces + 1
+    (chars.toLong << 32) | tokens.toLong
   }
 
   /** True when the "</name" match at `k` is a real raw-text end tag: the
