@@ -61,11 +61,6 @@ object Regions {
     true
   }
 
-  private def hasSegment(a: String, k: Int): Boolean = {
-    val (s, e) = segmentBounds(a, k)
-    e > s
-  }
-
   /** DOM-tree regions: recursively split the block sequence into maximal
     * runs sharing tagPath segment `depth`; a run covering more than
     * `maxAreaCoeff` of the document is replaced by its children at the next
