@@ -96,6 +96,10 @@ object SparkEntry {
     "q_boundary" -> (PipelineQueries.qBoundary _),
     "q_resume_antijoin" -> (PipelineQueries.qResumeAntiJoin _),
     "q_multimodal" -> (PipelineQueries.qMultimodal _),
+    // REAL codec paths (JDK ImageIO / WAV PCM): decode verified end-to-end
+    // against independent SQL arithmetic
+    "q_multimodal_pixels" -> (PipelineQueries.qMultimodalPixels _),
+    "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_profiled" -> (PipelineQueries.qExtractProfiled _),

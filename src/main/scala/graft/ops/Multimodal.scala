@@ -1,13 +1,27 @@
 package graft.ops
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
-  * typed metadata. Container-header PARSING is real (PNG IHDR, JPEG SOF,
-  * WAV fmt — pure deterministic byte inspection); pixel/sample DECODE is a
-  * clearly-marked STUB (no image/audio libs in this container) behind the
-  * same API, so the Spark-side plumbing — schema, batch shape, partitioning
-  * — is real and tested while the codec call is swappable.
+  * typed metadata.
+  *
+  * Round-2 status of the decode paths:
+  *  - container-header PARSING: real (PNG IHDR, JPEG SOF, WAV fmt — pure
+  *    deterministic byte inspection, [[parseMeta]]);
+  *  - IMAGE pixel decode: REAL — `javax.imageio` ships with the JDK (PNG /
+  *    JPEG / GIF / BMP readers), no external libs needed ([[decodeImage]]);
+  *  - AUDIO sample decode: REAL for WAV PCM16 (PCM is raw samples; the
+  *    RIFF/fmt/data parse IS the codec, [[decodeWavPcm16]]);
+  *  - VIDEO frame decode: still a documented stub ([[sampleFrames]] keeps
+  *    the partition/batch shape) — the JDK carries no video codec and the
+  *    container has no external ones; the call seam is swappable.
   */
 object Multimodal {
+
+  // ImageIO: headless, no disk-backed stream cache (Spark tasks are
+  // parallel; the memory path is faster and avoids /tmp churn)
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   final case class MediaMeta(
       format: String, // png | jpeg | wav | unknown
@@ -79,10 +93,135 @@ object Multimodal {
     out
   }
 
-  /** STUB — pixel decode. The container has no imaging libs; a real
-    * deployment swaps this for an ImageIO/opencv call. The stub returns a
-    * deterministic per-pixel-summary so downstream feature plumbing
-    * (schema, batching) is exercised honestly.
+  // ------------------------------------------------------ real image codec
+
+  final case class ImagePixels(width: Int, height: Int, argb: Array[Int])
+
+  /** REAL pixel decode via the JDK's own codecs (PNG/JPEG/GIF/BMP).
+    * Never throws; None on undecodable bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImagePixels] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        Some(ImagePixels(w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Deterministic VALID PNG from a pixel function (fixture encoder). */
+  def encodePng(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-channel pixel sums from REAL decoded pixels (feature primitive;
+    * integer math so an independent oracle can reproduce it exactly).
+    */
+  def channelSums(p: ImagePixels): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < p.argb.length) {
+      val v = p.argb(i)
+      r += (v >>> 16) & 0xff
+      g += (v >>> 8) & 0xff
+      b += v & 0xff
+      i += 1
+    }
+    (r, g, b)
+  }
+
+  // ------------------------------------------------------ real audio codec
+
+  final case class WavPcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** REAL WAV PCM16 decode (RIFF/fmt/data walk; PCM is raw little-endian
+    * samples). Never throws; None for non-PCM16 or malformed containers.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[WavPcm] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (parseMeta(bytes).format != "wav") return None
+    @inline def le16(at: Int) = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    @inline def le32(at: Int) = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8) |
+      ((bytes(at + 2) & 0xff) << 16) | ((bytes(at + 3) & 0xff) << 24)
+    var i = 12
+    var rate = -1
+    var ch = -1
+    var bits = -1
+    var samples: Array[Short] = null
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          val audioFormat = le16(i + 8)
+          ch = le16(i + 10)
+          rate = le32(i + 12)
+          bits = le16(i + 22)
+          if (audioFormat != 1 || bits != 16 || ch < 1) return None
+        case "data" =>
+          val n = len / 2
+          val out = new Array[Short](n)
+          var k = 0
+          while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
+          samples = out
+        case _ => ()
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && samples != null) Some(WavPcm(rate, ch, samples)) else None
+  }
+
+  /** Deterministic VALID WAV PCM16 mono container (fixture encoder). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+    out.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+    out.put("data".getBytes("ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Audio feature primitives over REAL decoded samples (integer math). */
+  def audioStats(w: WavPcm): (Long, Long, Long) = {
+    var sumAbs = 0L
+    var peak = 0L
+    var crossings = 0L
+    var i = 0
+    while (i < w.samples.length) {
+      val s = w.samples(i).toLong
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > peak) peak = a
+      if (i > 0 && ((s >= 0) != (w.samples(i - 1) >= 0))) crossings += 1
+      i += 1
+    }
+    (sumAbs, peak, crossings)
+  }
+
+  /** STUB — byte-histogram pixel summary kept as the swappable-codec seam
+    * demo (and the legacy q_multimodal oracle); [[decodeImage]] is the real
+    * path for images.
     */
   def decodePixelsStub(bytes: Array[Byte]): Array[Float] = {
     val meta = parseMeta(bytes)

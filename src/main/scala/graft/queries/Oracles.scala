@@ -518,6 +518,34 @@ object Oracles {
         |  cast(10000 AS BIGINT) AS feat_sum_e4
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_multimodal_pixels" ->
+      """WITH xs AS (SELECT unnest(generate_series(0, 14)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 6)) AS y),
+        |g AS (
+        |  SELECT d.doc_id, xs.x, ys.y,
+        |         8 + d.doc_id % 8 AS w, 4 + d.doc_id % 4 AS h
+        |  FROM documents d CROSS JOIN xs CROSS JOIN ys
+        |  WHERE xs.x < 8 + d.doc_id % 8 AND ys.y < 4 + d.doc_id % 4)
+        |SELECT doc_id, cast(max(w) AS BIGINT) AS width, cast(max(h) AS BIGINT) AS height,
+        |       cast(sum((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       cast(sum((x*3 + y*5 + doc_id) % 256) AS BIGINT) AS sum_g,
+        |       cast(sum((x + y + doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """WITH is_ AS (SELECT unnest(generate_series(0, 298)) AS i),
+        |s AS (
+        |  SELECT d.doc_id, is_.i, (is_.i*31 + d.doc_id*7) % 2003 - 1001 AS smp
+        |  FROM documents d CROSS JOIN is_
+        |  WHERE is_.i < 200 + d.doc_id % 100),
+        |w AS (SELECT *, lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_samples,
+        |       cast(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |       cast(max(abs(smp)) AS BIGINT) AS peak,
+        |       cast(sum(CASE WHEN prev IS NOT NULL AND ((smp >= 0) != (prev >= 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_template_chrome" ->
       """WITH u AS (
         |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS unit FROM documents),

@@ -169,6 +169,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode end-to-end: deterministic pixel pattern → valid PNG
+    * (JDK encoder) → [[graft.ops.Multimodal.decodeImage]] (JDK codec) →
+    * integer channel sums. The oracle recomputes the pattern arithmetic in
+    * SQL — byte-exact only if the codec roundtrip is lossless.
+    */
+  def qMultimodalPixels(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    import spark.implicits._
+    d.as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val png = graft.ops.Multimodal.encodePng(w, h) { (x, y) =>
+        val r = ((x * 7 + y * 13 + id) % 256).toInt
+        val g = ((x * 3 + y * 5 + id) % 256).toInt
+        val b = ((x + y + id) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val px = graft.ops.Multimodal.decodeImage(png).get
+      val (sr, sg, sb) = graft.ops.Multimodal.channelSums(px)
+      (id, px.width.toLong, px.height.toLong, sr, sg, sb)
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
+  /** REAL audio decode end-to-end: deterministic PCM16 pattern → valid WAV
+    * container → [[graft.ops.Multimodal.decodeWavPcm16]] → integer stats;
+    * oracle recomputes the sample arithmetic in SQL.
+    */
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    import spark.implicits._
+    d.as[Long].map { id =>
+      val n = (200 + id % 100).toInt
+      val samples = Array.tabulate[Short](n)(i => ((i * 31 + id * 7) % 2003 - 1001).toShort)
+      val wav = graft.ops.Multimodal.encodeWavPcm16(16000, samples)
+      val dec = graft.ops.Multimodal.decodeWavPcm16(wav).get
+      val (sumAbs, peak, crossings) = graft.ops.Multimodal.audioStats(dec)
+      (id, dec.samples.length.toLong, sumAbs, peak, crossings)
+    }.toDF("doc_id", "n_samples", "sum_abs", "peak", "crossings")
+      .orderBy("doc_id")
+  }
+
   /** Resume anti-join shape (north-rule checkpoint-resume): pretend the
     * first half is committed, extract only the remainder.
     */

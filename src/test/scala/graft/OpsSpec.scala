@@ -26,6 +26,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseMeta(null).format == "unknown")
     assert(Multimodal.parseMeta(Array.emptyByteArray).format == "unknown")
   }
+  test("REAL png codec: pixel-exact roundtrip via JDK ImageIO") {
+    val png = Multimodal.encodePng(16, 9) { (x, y) =>
+      (((x * 7 + y * 13) % 256) << 16) | (((x * 3 + y * 5) % 256) << 8) | ((x + y) % 256)
+    }
+    assert(Multimodal.parseMeta(png).format == "png")
+    val px = Multimodal.decodeImage(png).get
+    assert(px.width == 16 && px.height == 9)
+    // spot-check exact pixels (PNG is lossless)
+    assert((px.argb(0) & 0xffffff) == 0)
+    val v = px.argb(8 * 16 + 15) // x=15, y=8
+    assert(((v >>> 16) & 0xff) == (15 * 7 + 8 * 13) % 256)
+    assert(((v >>> 8) & 0xff) == (15 * 3 + 8 * 5) % 256)
+    assert((v & 0xff) == (15 + 8) % 256)
+    val (sr, sg, sb) = Multimodal.channelSums(px)
+    // independent double-entry: recompute the sums from the pattern
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until 9; x <- 0 until 16) {
+      er += (x * 7 + y * 13) % 256; eg += (x * 3 + y * 5) % 256; eb += (x + y) % 256
+    }
+    assert((sr, sg, sb) == ((er, eg, eb)))
+  }
+  test("REAL image decode handles jpeg too; garbage returns None") {
+    val img = new java.awt.image.BufferedImage(12, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val px = Multimodal.decodeImage(bos.toByteArray).get
+    assert(px.width == 12 && px.height == 7)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+  test("REAL wav pcm16 codec: sample-exact roundtrip + stats") {
+    val samples = Array.tabulate[Short](500)(i => ((i * 31) % 2003 - 1001).toShort)
+    val wav = Multimodal.encodeWavPcm16(16000, samples)
+    assert(Multimodal.parseMeta(wav).format == "wav")
+    val dec = Multimodal.decodeWavPcm16(wav).get
+    assert(dec.sampleRate == 16000 && dec.channels == 1)
+    assert(dec.samples.toSeq == samples.toSeq)
+    val (sumAbs, peak, crossings) = Multimodal.audioStats(dec)
+    assert(sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(peak == samples.map(s => math.abs(s.toInt)).max)
+    assert(crossings > 0)
+    // non-PCM / malformed → None
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(Array.emptyByteArray).isEmpty)
+  }
   test("pixel stub is deterministic and shaped") {
     val png = Multimodal.fakePng(3, 10, 10, 64)
     val a = Multimodal.decodePixelsStub(png)
