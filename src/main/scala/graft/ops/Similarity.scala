@@ -56,6 +56,26 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding-space member of
+    * the dedup family: pairs with cosine >= threshold, candidate space
+    * limited to matching LSH sign buckets (the 100 TB shape; recall traded
+    * via nPlanes exactly as in [[bucketedTopK]]). Cosine is rounded to 6
+    * decimals BEFORE thresholding so any engine reproducing the arithmetic
+    * lands on the same pair set.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 2): DataFrame = {
+    val b = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Bucketed ANN: exact search within matching LSH buckets — the 100 TB
     * shape (bucket equi-join instead of cross join; candidate set shrinks
     * ~2^planes-fold; recall traded via nPlanes).

@@ -511,6 +511,29 @@ object Oracles {
         |       vec_id, score
         |FROM s QUALIFY rn <= 3 ORDER BY qid, rn""".stripMargin,
 
+    "q_embed_neardup" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id,
+        |    sum(v * ((pos * 37) % 13 - 6)) AS d0,
+        |    sum(v * ((pos * 37 + 17) % 13 - 6)) AS d1
+        |  FROM x GROUP BY vec_id),
+        |bk AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN d0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN d1 > 0 THEN 2 ELSE 0 END) AS bucket
+        |  FROM d),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(ea.dv, eb.dv) /
+        |      (sqrt(list_dot_product(ea.dv, ea.dv)) * sqrt(list_dot_product(eb.dv, eb.dv))), 6) AS cos
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
     "q_multimodal" ->
       """SELECT doc_id, 'png' AS format,
         |  64 + doc_id % 64 AS width, 32 + doc_id % 32 AS height,

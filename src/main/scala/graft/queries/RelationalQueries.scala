@@ -561,6 +561,15 @@ object RelationalQueries {
       "id", "text", bands = 4, rowsPerBand = 2)
       .orderBy("id_a", "id_b")
 
+  /** Embedding-cosine near-dup pairs (graft.ops.Similarity.cosineNearDupPairs)
+    * — the embedding member of the dedup family, LSH-bucketed.
+    */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.cosineNearDupPairs(
+      emb(spark, dir).select($c("vec_id"), $c("embedding").cast("array<double>").as("dv")),
+      "vec_id", "dv", threshold = 0.35, nPlanes = 2)
+      .orderBy("id_a", "id_b")
+
   /** Bucketed ANN via the library API (LSH sign buckets, exact within
     * bucket) — the 100 TB similarity-search shape.
     */
