@@ -83,6 +83,7 @@ object SparkEntry {
     "q_lsh_pairs" -> (R.qLshPairs _),
     "q_ann_bucketed" -> (R.qAnnBucketed _),
     "q_embed_neardup" -> (R.qEmbedNearDup _),
+    "q_ivf_topk" -> (R.qIvfTopK _),
     "q_simhash" -> (R.qSimHash _),
     "q_fingerprint" -> (R.qFingerprint _),
     // cross-doc site-template removal (cleanBackgroundToWhite analogue)

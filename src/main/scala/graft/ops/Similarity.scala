@@ -76,6 +76,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Squared L2 distance (deterministic accumulation order). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** IVF-Flat-style ANN with a DETERMINISTIC anchor codebook: the coarse
+    * quantizer's centroids are the corpus vectors whose id ≡ 0 (mod
+    * `anchorEvery`) — no k-means RNG state, same codebook in any engine.
+    * Every corpus vector is assigned to its nearest anchor (its CELL, ties
+    * to the smallest anchor id); a query probes its `nProbe` nearest cells
+    * and searches exactly within them. 100 TB shape: the codebook is tiny
+    * and broadcast; assignment is a per-row map over a broadcast join; the
+    * only shuffle is the probe-cell equi-join + per-query top-k.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      anchorEvery: Int = 37, nProbe: Int = 2,
+      qId: String = "qid", qVec: String = "qv",
+      cId: String = "vec_id", cVec: String = "dv"): DataFrame = {
+    val anchors = corpus.filter(col(cId) % anchorEvery === 0)
+      .select(col(cId).as("anchor_id"), col(cVec).as("anchor_v"))
+    // cell assignment: nearest anchor per corpus vector, computed as a
+    // per-row HOF argmin over the broadcast codebook array — ZERO shuffle on
+    // the big side (a join+window formulation would shuffle N×A rows)
+    val codebook = anchors
+      .agg(collect_list(struct(col("anchor_id"), col("anchor_v"))).as("_cb"))
+    val nearest = aggregate(col("_cb"),
+      struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("id")),
+      (acc, a) => {
+        val d = round(sqDist(col(cVec), a.getField("anchor_v")), 6)
+        val better = d < acc.getField("d") ||
+          (d === acc.getField("d") && a.getField("anchor_id") < acc.getField("id"))
+        when(better, struct(d.as("d"), a.getField("anchor_id").cast("long").as("id")))
+          .otherwise(acc)
+      }).getField("id")
+    val cells = corpus.crossJoin(broadcast(codebook))
+      .withColumn("cell", nearest)
+      .select(col(cId), col(cVec), col("cell"))
+    // probe list: nProbe nearest anchors per query
+    val qw = Window.partitionBy(qId).orderBy(asc("adist"), asc("anchor_id"))
+    val probes = queries.join(broadcast(anchors))
+      .withColumn("adist", round(sqDist(col(qVec), col("anchor_v")), 6))
+      .withColumn("arn", row_number().over(qw))
+      .filter(col("arn") <= nProbe)
+      .select(col(qId), col(qVec), col("anchor_id").as("cell"))
+    // exact search within probed cells
+    val scored = probes.join(cells, Seq("cell")).filter(col(cId) =!= col(qId))
+      .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+    val w = Window.partitionBy(qId).orderBy(desc("score"), asc(cId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("score"))
+  }
+
   /** Bucketed ANN: exact search within matching LSH buckets — the 100 TB
     * shape (bucket equi-join instead of cross join; candidate set shrinks
     * ~2^planes-fold; recall traded via nPlanes).

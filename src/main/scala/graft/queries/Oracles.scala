@@ -511,6 +511,29 @@ object Oracles {
         |       vec_id, score
         |FROM s QUALIFY rn <= 3 ORDER BY qid, rn""".stripMargin,
 
+    "q_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, dv AS av FROM e WHERE vec_id % 37 = 0),
+        |dist AS (
+        |  SELECT e.vec_id, e.dv, a.anchor_id,
+        |    round(list_dot_product(e.dv, e.dv) - 2*list_dot_product(e.dv, a.av)
+        |          + list_dot_product(a.av, a.av), 6) AS d2
+        |  FROM e CROSS JOIN a),
+        |cells AS (
+        |  SELECT vec_id, dv, anchor_id AS cell FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, anchor_id ASC) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, dv AS qv, anchor_id AS cell FROM dist
+        |  WHERE vec_id % 50 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, anchor_id ASC) <= 2),
+        |s AS (
+        |  SELECT p.qid, c.vec_id, round(list_dot_product(p.qv, c.dv), 6) AS score
+        |  FROM probes p JOIN cells c ON p.cell = c.cell
+        |  WHERE c.vec_id != p.qid)
+        |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn,
+        |       vec_id, score
+        |FROM s QUALIFY rn <= 3 ORDER BY qid, rn""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH x AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,

@@ -561,6 +561,17 @@ object RelationalQueries {
       "id", "text", bands = 4, rowsPerBand = 2)
       .orderBy("id_a", "id_b")
 
+  /** IVF-Flat-style ANN (graft.ops.Similarity.ivfTopK): deterministic
+    * anchor codebook, HOF cell assignment, probe-cell equi-join.
+    */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select($c("vec_id"), $c("embedding").cast("array<double>").as("dv"))
+    val q = e.filter($c("vec_id") % 50 === 0)
+      .select($c("vec_id").as("qid"), $c("dv").as("qv"))
+    graft.ops.Similarity.ivfTopK(q, e, k = 3, anchorEvery = 37, nProbe = 2)
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding-cosine near-dup pairs (graft.ops.Similarity.cosineNearDupPairs)
     * — the embedding member of the dedup family, LSH-bucketed.
     */
