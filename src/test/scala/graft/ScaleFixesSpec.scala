@@ -135,6 +135,31 @@ class ScaleFixesSpec extends AnyFunSuite {
     assert(stripped(3L) == Seq("other", "text")) // hB has no chrome
   }
 
+  test("ivfTopK: anchor cells + probes return the exact in-cell top-k") {
+    import spark.implicits._
+    // corpus on a line: v(i) = [i, 0]; anchors (id % 2 == 0) at 0, 2, 4
+    val corpus = (0 to 5).map(i => (i.toLong, Seq(i.toDouble, 0.0))).toDF("vec_id", "dv")
+    val queries = Seq((100L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val got = graft.ops.Similarity.ivfTopK(queries, corpus, k = 3,
+      anchorEvery = 2, nProbe = 2)
+      .orderBy("rn").as[(Long, Int, Long, Double)].collect().toSeq
+    // probes for [1,0]: anchors 0 and 2 (tied distance, both taken);
+    // their cells hold {0,1} and {2,3}; top-3 dots: id 3 (3.0), 2 (2.0), 1 (1.0)
+    assert(got == Seq((100L, 1, 3L, 3.0), (100L, 2, 2L, 2.0), (100L, 3, 1L, 1.0)))
+  }
+
+  test("cosineNearDupPairs: identical vectors pair at cos 1.0, threshold holds") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0, 3.0)), // identical
+      (3L, Seq(-3.0, 0.0, 1.0)), (4L, Seq(0.5, -1.0, 0.4))
+    ).toDF("vec_id", "dv")
+    val pairs = graft.ops.Similarity.cosineNearDupPairs(corpus, "vec_id", "dv",
+      threshold = 0.9, nPlanes = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
   test("streaming facade: AvailableNow round-trip is byte-identical to batch") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("streamin").toString
