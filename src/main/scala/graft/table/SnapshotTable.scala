@@ -129,6 +129,9 @@ object SnapshotTable {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1 // lost the race: re-read current, retry with next id
+          // brief backoff: the winner's pointer swap may not be visible yet,
+          // and re-reading the stale pointer would collide on the same name
+          Thread.sleep(math.min(200L, 5L * attempt))
       }
     }
     sys.error(s"commitRun: lost the snapshot CAS race 64 times (dir=$dir)")
