@@ -59,6 +59,23 @@ object Bench {
     def reset(): Unit = { cpu.reset(); run.reset() }
     def cpuSec: Double = cpu.sum() / 1e9
     def runSec: Double = run.sum() / 1e9
+
+    /** Task-end events arrive on the ASYNC listener bus after the action
+      * returns; poll until two consecutive reads agree so a pass's tail
+      * tasks are booked to the right pass.
+      */
+    def settledCpuSec(): Double = {
+      var prev = -1.0
+      var cur = cpuSec
+      var i = 0
+      while (i < 20 && cur != prev) {
+        Thread.sleep(50)
+        prev = cur
+        cur = cpuSec
+        i += 1
+      }
+      cur
+    }
   }
 
   /** Fingerprint of everything that determines bench-input content; a stale
@@ -66,12 +83,19 @@ object Bench {
     * (ADVICE r1: cache keyed only by doc count reused outdated input).
     */
   def inputFingerprint(n: Long): String = {
-    val probe = graft.fixtures.FixtureGen.fixtures(3)
-      .map(f => f.page.url + ":" + f.page.html.length + ":" + f.expected.hashCode)
-      .mkString("|")
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest((probe + "#" + n).getBytes("UTF-8"))
-    d.take(6).map(b => f"$b%02x").mkString
+    // probe ids spread across the id->corpus map (including the edge-corpus
+    // multiples of 50) and hash FULL bytes + ground truth, so any generator
+    // change that manifests anywhere in the sampled set changes the path
+    val ids = (0L to 9L) ++ Seq(25L, 50L, 97L, 131L, 250L, 499L, 997L, 4999L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ids.foreach { id =>
+      val f = graft.fixtures.FixtureGen.fixture(id)
+      md.update(f.page.url.getBytes("UTF-8"))
+      md.update(f.page.html)
+      md.update(f.expected.getBytes("UTF-8"))
+    }
+    md.update(n.toString.getBytes("UTF-8"))
+    md.digest().take(6).map(b => f"$b%02x").mkString
   }
 
   /** Pre-materialize the bench corpus once (generation cost must not pollute
@@ -147,7 +171,7 @@ object Bench {
           fn(spark, sfDir).collect()
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < best) best = sec
-          cpus_ += meter.cpuSec
+          cpus_ += meter.settledCpuSec()
         } catch {
           case e: Throwable =>
             errors(name) = e.getClass.getSimpleName + ": " +
@@ -175,7 +199,7 @@ object Bench {
       meter.reset()
       val (sec, d, b) = extractionRun(spark, input)
       if (sec < bestSec) { bestSec = sec; docs = d; bytes = b }
-      extractCpu += meter.cpuSec
+      extractCpu += meter.settledCpuSec()
     }
     results("extract_bench") = bestSec
     cpuSecs("extract_bench") = median(extractCpu.toSeq)

@@ -58,11 +58,13 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 2,
       maxBandSize: Int = 10000): DataFrame = {
     val banded = bandedKeys(df, idCol, textCol, bands, rowsPerBand)
-    val admitted = banded.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("band_size"))
-      .filter(col("band_size") <= maxBandSize)
-      .select(col("band"), col("band_key"))
-    val ok = banded.join(admitted, Seq("band", "band_key"))
+    // band-size cap as a WINDOW count over the same exchange the self-join
+    // shuffles on: the l/r sides below share one canonical exchange subtree
+    // (Catalyst ReuseExchange), so the minhash signatures are computed once,
+    // not once per aggregate/join branch
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))
+    val ok = banded.withColumn("_bs", count(lit(1)).over(bw))
+      .filter(col("_bs") <= maxBandSize).drop("_bs")
     val l = ok.select(col("band"), col("band_key"), col("id").as("id_a"))
     val r = ok.select(col("band"), col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_key"))

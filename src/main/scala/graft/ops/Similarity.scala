@@ -95,8 +95,24 @@ object Similarity {
       anchorEvery: Int = 37, nProbe: Int = 2,
       qId: String = "qid", qVec: String = "qv",
       cId: String = "vec_id", cVec: String = "dv"): DataFrame = {
-    val anchors = corpus.filter(col(cId) % anchorEvery === 0)
-      .select(col(cId).as("anchor_id"), col(cVec).as("anchor_v"))
+    // The codebook is COLLECTED to the driver — deliberately: an IVF
+    // codebook is index metadata (like loading a trained quantizer), tiny by
+    // design, and collecting it both (a) fails loudly on the
+    // empty-codebook corner (no corpus id ≡ 0 mod anchorEvery — otherwise
+    // every query would silently get zero results) and (b) saves a second
+    // corpus scan for the aggregate.
+    val anchorRows = corpus.filter(col(cId) % anchorEvery === 0)
+      .select(col(cId).cast("long").as("anchor_id"),
+        col(cVec).cast("array<double>").as("anchor_v"))
+      .collect()
+    require(anchorRows.nonEmpty,
+      s"ivfTopK: empty codebook — no corpus $cId ≡ 0 (mod $anchorEvery); " +
+        "pick anchorEvery to match the id space")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val anchors = anchorRows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("anchor_id", "anchor_v")
     // cell assignment: nearest anchor per corpus vector, computed as a
     // per-row HOF argmin over the broadcast codebook array — ZERO shuffle on
     // the big side (a join+window formulation would shuffle N×A rows)

@@ -33,20 +33,40 @@ object SnapshotTable {
   private def snapDir(dir: String): Path = Paths.get(dir, "snapshots")
   private def currentPtr(dir: String): Path = snapDir(dir).resolve("current")
 
+  /** The COMMIT POINT is the existence of the versioned manifest file (the
+    * Iceberg HadoopTableOperations model): `current` is only a discovery
+    * HINT — the authoritative current snapshot is the max-id v*.json. This
+    * is what makes the CREATE_NEW CAS in [[commitRun]] crash-safe: a
+    * committer that dies between manifest creation and pointer swap has
+    * COMMITTED (its data files were fully written before commitRun), and
+    * the next reader/committer discovers its manifest by listing instead of
+    * wedging on the stale pointer.
+    */
   def currentSnapshot(dir: String): Option[Snapshot] = {
-    val ptr = currentPtr(dir)
-    if (!Files.exists(ptr)) return None
-    val name = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
-    val manifest = snapDir(dir).resolve(name)
-    if (!Files.exists(manifest)) return None
-    val m = graft.tools.JsonMini.parse(
-      new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
-      .asInstanceOf[Map[String, Any]]
-    Some(Snapshot(
-      m("snapshot_id").asInstanceOf[Long],
-      m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
-      m("rows").asInstanceOf[Long],
-      m("run_ids").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String])))
+    val sd = snapDir(dir)
+    if (!Files.exists(sd)) return None
+    val manifestName = "^v(\\d{5})\\.json$".r
+    var best: Option[(Long, Path)] = None
+    val it = Files.list(sd).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      p.getFileName.toString match {
+        case manifestName(idStr) =>
+          val id = idStr.toLong
+          if (best.forall(_._1 < id)) best = Some((id, p))
+        case _ => ()
+      }
+    }
+    best.map { case (_, manifest) =>
+      val m = graft.tools.JsonMini.parse(
+        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
+        .asInstanceOf[Map[String, Any]]
+      Snapshot(
+        m("snapshot_id").asInstanceOf[Long],
+        m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
+        m("rows").asInstanceOf[Long],
+        m("run_ids").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]))
+    }
   }
 
   /** Append `df` as a new committed snapshot. `bucketBy` hidden-partitions on
@@ -78,12 +98,14 @@ object SnapshotTable {
     * (split from [[append]] so tests can simulate a kill between write and
     * commit).
     *
-    * Concurrency (ADVICE r1): the manifest is created with CREATE_NEW —
-    * two concurrent committers race on the same v<id> name, the loser gets
-    * FileAlreadyExistsException, re-reads the new current snapshot and
-    * retries with the next id (optimistic CAS). Re-committing an
-    * already-committed runId is rejected (duplicate data files would be
-    * double-counted).
+    * Concurrency (ADVICE r1): the manifest is created with CREATE_NEW and
+    * its existence IS the commit — two concurrent committers race on the
+    * same v<id> name, the loser gets FileAlreadyExistsException, re-reads
+    * the (now discoverable by listing) current snapshot and retries with
+    * the next id (optimistic CAS). A crash between manifest creation and
+    * the pointer write is a completed commit, not an orphan — see
+    * [[currentSnapshot]]. Re-committing an already-committed runId is
+    * rejected (duplicate data files would be double-counted).
     */
   def commitRun(dir: String, runId: String): Snapshot = {
     val runPath = Paths.get(dir, "data", s"run=$runId")

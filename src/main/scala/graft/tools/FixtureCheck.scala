@@ -38,6 +38,8 @@ object FixtureCheck {
     // kind may carry a naive-mode suffix "kind:naive" (banded smoothing off)
     val (kindName, naive) =
       if (kind.endsWith(":naive")) (kind.stripSuffix(":naive"), true) else (kind, false)
+    require(mode != "write" || (kindName == "sauvola" && !naive),
+      "write mode freezes the DEFAULT-pipeline goldens; refusing a non-default kind")
     val cfg = Extract.Config(classifier = graft.classify.Classifiers.Config(
       kind = kindName, morphIters = if (naive) 0 else 2))
     // mode "adv" checks the adversarial corpora instead

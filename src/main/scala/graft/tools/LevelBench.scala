@@ -36,7 +36,12 @@ object LevelBench {
     while (i < passes) {
       val c0 = cpuNs.get()
       val (wall, docs, bytes) = graft.Bench.extractionRun(spark, input)
-      val cpuS = (cpuNs.get() - c0) / 1e9
+      // settle the async listener bus before reading (tail task events)
+      var prevC = -1L
+      var curC = cpuNs.get()
+      var si = 0
+      while (si < 20 && curC != prevC) { Thread.sleep(50); prevC = curC; curC = cpuNs.get(); si += 1 }
+      val cpuS = (curC - c0) / 1e9
       val line = f"""{"cpus":$cpus,"pass":${i + 1},"wall_s":$wall%.2f,"cpu_s":$cpuS%.2f,"docs":$docs,"bytes":$bytes}""" + "\n"
       Files.write(Paths.get(outFile), line.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
