@@ -54,4 +54,16 @@ class AdversarialSpec extends AnyFunSuite {
   test("nativeadaptive passes BOTH adversarial corpora (the polarity-safe kind)") {
     fixtures.foreach(f => assert(run(f, "nativeadaptive"), f.page.url))
   }
+
+  test("classifier kinds genuinely DISAGREE on the band corpus") {
+    // the corpora must discriminate between kinds, not just exercise
+    // plumbing (VERDICT r1 'golden fixtures are easy-mode')
+    def text(f: FixtureGen.Fixture, kind: String): String =
+      Extract(f.page, Extract.Config(classifier = Classifiers.Config(kind = kind)))
+        .extracted_text
+    val disagree = band.count(f => text(f, "sauvola") != text(f, "cococlust"))
+    assert(disagree > 0, "cococlust must diverge from sauvola somewhere on band pages")
+    val disagree2 = band.count(f => text(f, "sauvola") != text(f, "localotsu"))
+    assert(disagree2 > 0, "localotsu must diverge from sauvola somewhere on band pages")
+  }
 }
