@@ -44,33 +44,98 @@ object Decode {
     }
   }
 
-  /** Scan the ASCII-visible prefix for a meta-declared charset.
-    * Deterministic: first match wins, scan window = first 1024 bytes.
+  /** Scan the ASCII-visible prefix for a meta-declared charset — the WHATWG
+    * encoding-sniffing prescan shape: comments are skipped, only real
+    * `<meta` tags (not `<metadata`) are inspected, attributes are parsed
+    * quote-aware, and a charset is taken from the `charset` attribute or —
+    * only for `http-equiv=content-type` — from `charset=` inside the
+    * `content` value. A bare `charset=` inside unrelated attribute text
+    * (e.g. a description) is NOT a declaration. Deterministic: first match
+    * wins, scan window = first 1024 bytes.
     */
   private[html] def sniffMeta(bytes: Array[Byte]): Option[String] = {
     val n = math.min(bytes.length, 1024)
     val sb = new java.lang.StringBuilder(n)
-    var i = 0
-    while (i < n) { sb.append((bytes(i) & 0xff).toChar); i += 1 }
+    var k = 0
+    while (k < n) { sb.append((bytes(k) & 0xff).toChar); k += 1 }
     val prefix = sb.toString.toLowerCase(java.util.Locale.ROOT)
-    // charset= appears in both <meta charset="..."> and content="...;charset=..."
-    val key = "charset="
-    var at = prefix.indexOf(key)
-    while (at >= 0) {
-      // must be inside a <meta ...> tag: nearest '<' before `at` starts "<meta"
-      val lt = prefix.lastIndexOf('<', at)
-      if (lt >= 0 && prefix.startsWith("<meta", lt) &&
-        prefix.indexOf('>', lt) > at) {
-        var s = at + key.length
-        if (s < prefix.length && (prefix.charAt(s) == '"' || prefix.charAt(s) == '\'')) s += 1
-        var e = s
-        while (e < prefix.length && isLabelChar(prefix.charAt(e))) e += 1
-        if (e > s) return Some(prefix.substring(s, e))
-      }
-      at = prefix.indexOf(key, at + 1)
+    val len = prefix.length
+
+    var i = 0
+    while (i < len) {
+      val lt = prefix.indexOf('<', i)
+      if (lt < 0) return None
+      if (prefix.startsWith("<!--", lt)) {
+        val end = prefix.indexOf("-->", lt + 4)
+        i = if (end < 0) len else end + 3
+      } else if (prefix.startsWith("<meta", lt) && lt + 5 < len &&
+        (isWsChar(prefix.charAt(lt + 5)) || prefix.charAt(lt + 5) == '/')) {
+        // parse attributes quote-aware up to '>'
+        var j = lt + 5
+        var charsetAttr: String = null
+        var httpEquiv: String = null
+        var contentAttr: String = null
+        var done = false
+        while (j < len && !done) {
+          val c = prefix.charAt(j)
+          if (c == '>') done = true
+          else if (isWsChar(c) || c == '/') j += 1
+          else {
+            // attribute name
+            val ns = j
+            while (j < len && !isWsChar(prefix.charAt(j)) &&
+              prefix.charAt(j) != '=' && prefix.charAt(j) != '>' &&
+              prefix.charAt(j) != '/') j += 1
+            val name = prefix.substring(ns, j)
+            while (j < len && isWsChar(prefix.charAt(j))) j += 1
+            var value = ""
+            if (j < len && prefix.charAt(j) == '=') {
+              j += 1
+              while (j < len && isWsChar(prefix.charAt(j))) j += 1
+              if (j < len && (prefix.charAt(j) == '"' || prefix.charAt(j) == '\'')) {
+                val q = prefix.charAt(j)
+                val vs = j + 1
+                val ve = prefix.indexOf(q, vs)
+                if (ve < 0) { value = prefix.substring(vs); j = len }
+                else { value = prefix.substring(vs, ve); j = ve + 1 }
+              } else {
+                val vs = j
+                while (j < len && !isWsChar(prefix.charAt(j)) && prefix.charAt(j) != '>') j += 1
+                value = prefix.substring(vs, j)
+              }
+            }
+            name match {
+              case "charset" => if (charsetAttr == null) charsetAttr = value
+              case "http-equiv" => if (httpEquiv == null) httpEquiv = value
+              case "content" => if (contentAttr == null) contentAttr = value
+              case _ => ()
+            }
+          }
+        }
+        if (!done) return None // meta tag truncated by the 1024-byte window
+        val label =
+          if (charsetAttr != null && charsetAttr.nonEmpty) charsetAttr.trim
+          else if (httpEquiv == "content-type" && contentAttr != null) {
+            val at = contentAttr.indexOf("charset=")
+            if (at < 0) null
+            else {
+              var s = at + "charset=".length
+              if (s < contentAttr.length &&
+                (contentAttr.charAt(s) == '"' || contentAttr.charAt(s) == '\'')) s += 1
+              var e = s
+              while (e < contentAttr.length && isLabelChar(contentAttr.charAt(e))) e += 1
+              if (e > s) contentAttr.substring(s, e) else null
+            }
+          } else null
+        if (label != null && label.nonEmpty) return Some(label)
+        i = j + 1
+      } else i = lt + 1
     }
     None
   }
+
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
   private def isLabelChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
@@ -127,7 +192,15 @@ object Decode {
       return Decoded(decodeWith(bytes, 2, StandardCharsets.UTF_16BE), "utf-16be-bom")
     // 2. meta-declared
     sniffMeta(bytes).flatMap(resolveLabel) match {
-      case Some(cs) =>
+      case Some(cs0) =>
+        // WHATWG: a meta-declared UTF-16 label is remapped to UTF-8 — the
+        // prescan read the label through an ASCII-superset byte scan, which
+        // proves the document is NOT UTF-16; decoding as UTF-16 would garble
+        // the whole page
+        val cs =
+          if (cs0 == StandardCharsets.UTF_16LE || cs0 == StandardCharsets.UTF_16BE)
+            StandardCharsets.UTF_8
+          else cs0
         val label = if (cs eq Win1252) "windows-1252" else cs.name().toLowerCase(java.util.Locale.ROOT)
         return Decoded(decodeWith(bytes, 0, cs), s"meta:$label")
       case None => ()

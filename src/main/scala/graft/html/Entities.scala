@@ -75,11 +75,13 @@ object Entities {
     else new String(Character.toChars(cp))
   }
 
-  /** Try to decode an entity starting at `src(at) == '&'`.
+  /** Try to decode an entity starting at `src(at) == '&'`; scanning never
+    * looks past `limit` (the tokenizer's cost cap — a reference straddling
+    * the cap must not read beyond it).
     * Returns (replacement, charsConsumed) or null if not a valid reference.
     */
-  def tryDecode(src: CharSequence, at: Int): (String, Int) = {
-    val n = src.length
+  def tryDecode(src: CharSequence, at: Int, limit: Int = Int.MaxValue): (String, Int) = {
+    val n = math.min(src.length, limit)
     if (at + 1 >= n) return null
     var i = at + 1
     if (src.charAt(i) == '#') {
@@ -88,14 +90,18 @@ object Entities {
       val hex = src.charAt(i) == 'x' || src.charAt(i) == 'X'
       if (hex) i += 1
       val digitsStart = i
+      // consume ALL digits (WHATWG) with saturation: zero-padded valid refs
+      // decode normally, overlong values saturate out-of-range -> U+FFFD
       var cp = 0L
-      while (i < n && isDigit(src.charAt(i), hex) && i - digitsStart < 8) {
-        val d = Character.digit(src.charAt(i), if (hex) 16 else 10)
-        cp = cp * (if (hex) 16 else 10) + d
+      while (i < n && isDigit(src.charAt(i), hex)) {
+        if (cp <= 0x10ffff) {
+          val d = Character.digit(src.charAt(i), if (hex) 16 else 10)
+          cp = cp * (if (hex) 16 else 10) + d
+        }
         i += 1
       }
       if (i == digitsStart || i >= n || src.charAt(i) != ';') return null
-      (numericToString(cp.toInt), i + 1 - at)
+      (numericToString(math.min(cp, 0x110000L).toInt), i + 1 - at)
     } else {
       val nameStart = i
       while (i < n && i - nameStart < 32 && isNameChar(src.charAt(i))) i += 1

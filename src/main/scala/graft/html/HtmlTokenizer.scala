@@ -60,6 +60,13 @@ object HtmlTokenizer {
 
   private val rawTextTags: Set[String] = Set("script", "style", "textarea", "title")
 
+  // foreign-content roots: the ONLY elements whose self-closing solidus is
+  // honored (WHATWG: for HTML elements the trailing '/' is ignored and the
+  // element stays open; honoring it generally mis-parses unquoted attribute
+  // values ending in '/', e.g. href=http://x/ — which silently dropped the
+  // <a> push and corrupted link accounting)
+  private val foreignRoots: Set[String] = Set("svg", "math")
+
   private val suppressTags: Set[String] = Set(
     "head", "noscript", "template", "svg", "iframe", "object", "embed",
     "applet", "audio", "video", "canvas", "select", "datalist")
@@ -95,6 +102,7 @@ object HtmlTokenizer {
     var lastOff = -1 // one past source offset of last visible char
     var blockDepth = 0
     var blockPath = ""
+    var pathSet = false
 
     @inline def inLink: Boolean = anchorDepth > 0
 
@@ -110,10 +118,6 @@ object HtmlTokenizer {
       */
     def appendText(s: String, srcStart: Int, srcEnd: Int, oneToOne: Boolean): Unit = {
       if (suppressDepth > 0) return
-      if (raw.length == 0 && blockPath.isEmpty) {
-        blockPath = currentPath()
-        blockDepth = stack.length
-      }
       beginLinkRunIfNeeded()
       raw.append(s)
       var i = 0
@@ -128,6 +132,15 @@ object HtmlTokenizer {
         i += 1
       }
       if (first >= 0) {
+        // tagPath/depth captured at the first VISIBLE char (not at leading
+        // whitespace appended before an intervening tag changed the stack):
+        // identical markup must yield identical paths regardless of
+        // inter-tag whitespace
+        if (!pathSet) {
+          blockPath = currentPath()
+          blockDepth = stack.length
+          pathSet = true
+        }
         if (firstOff < 0)
           firstOff = if (oneToOne) srcStart + first else srcStart
         lastOff = if (oneToOne) srcStart + last + 1 else srcEnd
@@ -160,15 +173,16 @@ object HtmlTokenizer {
             }
             r += 1
           }
+          val nTok = Canon.tokenCount(canon)
           blocks += Block(
             tagPath = blockPath,
             text = canon,
             startOff = if (firstOff >= 0) firstOff else 0,
             endOff = if (lastOff >= 0) lastOff else 0,
             nChars = canon.length,
-            nTokens = Canon.tokenCount(canon),
+            nTokens = nTok,
             nLinkChars = math.min(linkChars, canon.length),
-            nLinkTokens = math.min(linkTokens, Canon.tokenCount(canon)),
+            nLinkTokens = math.min(linkTokens, nTok),
             depth = blockDepth,
             idx = blocks.length)
         } else if (canon.nonEmpty) truncated = true
@@ -180,6 +194,7 @@ object HtmlTokenizer {
       lastOff = -1
       blockPath = ""
       blockDepth = 0
+      pathSet = false
     }
 
     def pushElem(name: String): Unit = {
@@ -219,14 +234,15 @@ object HtmlTokenizer {
       if (c == '<') {
         if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' &&
           html.charAt(i + 3) == '-') {
-          // comment
-          val end = html.indexOf("-->", i + 4)
+          // comment (bounded scan: the cost caps must bound work even when
+          // the underlying string is far longer than n)
+          val end = boundedIndexOfStr(html, "-->", i + 4, n)
           i = if (end < 0) n else end + 3
         } else if (i + 1 < n && html.charAt(i + 1) == '!') {
-          val end = html.indexOf('>', i + 2)
+          val end = boundedIndexOfChar(html, '>', i + 2, n)
           i = if (end < 0) n else end + 1
         } else if (i + 1 < n && html.charAt(i + 1) == '?') {
-          val end = html.indexOf('>', i + 2)
+          val end = boundedIndexOfChar(html, '>', i + 2, n)
           i = if (end < 0) n else end + 1
         } else if (i + 1 < n &&
           (isNameStart(html.charAt(i + 1)) || html.charAt(i + 1) == '/')) {
@@ -234,7 +250,7 @@ object HtmlTokenizer {
           var j = i + (if (closing) 2 else 1)
           if (closing && (j >= n || !isNameStart(html.charAt(j)))) {
             // `</` not followed by a name: skip to '>'
-            val end = html.indexOf('>', j)
+            val end = boundedIndexOfChar(html, '>', j, n)
             i = if (end < 0) n else end + 1
           } else {
             val nameSb = new java.lang.StringBuilder(8)
@@ -275,11 +291,12 @@ object HtmlTokenizer {
                   k = indexOfIgnoreCase(html, "</" + name, k + 1, n)
                 if (k < 0) i = n
                 else {
-                  val end = html.indexOf('>', k)
+                  val end = boundedIndexOfChar(html, '>', k, n)
                   i = if (end < 0) n else end + 1
                 }
               } else {
-                if (!voidTags.contains(name) && !selfClose) pushElem(name)
+                if (!voidTags.contains(name) && !(selfClose && foreignRoots.contains(name)))
+                  pushElem(name)
                 i = j
               }
             }
@@ -290,7 +307,7 @@ object HtmlTokenizer {
           i += 1
         }
       } else if (c == '&') {
-        val dec = Entities.tryDecode(html, i)
+        val dec = Entities.tryDecode(html, i, n)
         if (dec != null) {
           appendText(dec._1, i, i + dec._2, oneToOne = false)
           i += dec._2
@@ -311,6 +328,27 @@ object HtmlTokenizer {
     if (i < html.length) truncated = true
     flush()
     Result(blocks.toArray, truncated)
+  }
+
+  private def boundedIndexOfChar(s: String, ch: Char, from: Int, limit: Int): Int = {
+    var i = math.max(0, from)
+    while (i < limit) {
+      if (s.charAt(i) == ch) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def boundedIndexOfStr(s: String, needle: String, from: Int, limit: Int): Int = {
+    val nl = needle.length
+    var i = math.max(0, from)
+    while (i + nl <= limit) {
+      var k = 0
+      while (k < nl && s.charAt(i + k) == needle.charAt(k)) k += 1
+      if (k == nl) return i
+      i += 1
+    }
+    -1
   }
 
   /** Canonical (chars, tokens) of `sb[s, e)` under Canon's exact rules for
