@@ -144,6 +144,26 @@ object Multimodal {
     (r, g, b)
   }
 
+  /** REAL image resize (JDK Graphics2D, bilinear) — decode → resize →
+    * re-extract pixels; the feature-pipeline shape for thumbnail/embedding
+    * preprocessing. None on undecodable input.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[ImagePixels] =
+    decodeImage(bytes).map { src =>
+      val img = new java.awt.image.BufferedImage(
+        src.width, src.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, src.width, src.height, src.argb, 0, src.width)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      ImagePixels(w, h, out.getRGB(0, 0, w, h, null, 0, w))
+    }
+
   // ------------------------------------------------------ real audio codec
 
   final case class WavPcm(sampleRate: Int, channels: Int, samples: Array[Short])

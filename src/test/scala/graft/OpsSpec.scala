@@ -57,6 +57,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
   }
+  test("REAL image resize: uniform image stays uniform at the new dims") {
+    val png = Multimodal.encodePng(32, 16)((_, _) => 0x406080)
+    val r = Multimodal.resizeImage(png, 8, 4).get
+    assert(r.width == 8 && r.height == 4)
+    assert(r.argb.forall(v => (v & 0xffffff) == 0x406080))
+    assert(Multimodal.resizeImage("junk".getBytes, 8, 4).isEmpty)
+  }
   test("REAL wav pcm16 codec: sample-exact roundtrip + stats") {
     val samples = Array.tabulate[Short](500)(i => ((i * 31) % 2003 - 1001).toShort)
     val wav = Multimodal.encodeWavPcm16(16000, samples)
