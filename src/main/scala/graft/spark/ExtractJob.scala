@@ -21,12 +21,6 @@ import graft.pipeline.Extract
   */
 object ExtractJob {
 
-  final case class Timings(
-      var decodeNs: Long = 0L,
-      var tokenizeNs: Long = 0L,
-      var classifyNs: Long = 0L,
-      var assembleNs: Long = 0L)
-
   /** Narrow transform: pages → extracted docs, lineage via accumulator.
     * The accumulator is populated on ACTION (materialize docs first, then
     * read lineage).

@@ -16,23 +16,19 @@ import graft.fixtures.FixtureGen
 object PageSource {
 
   def pages(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 0): Dataset[PageRow] = {
-    import spark.implicits._
-    val parts = if (partitions > 0) partitions
-    else spark.sparkContext.defaultParallelism * 2
-    spark.range(0L, n, 1L, parts).mapPartitions { ids =>
-      ids.map(id => FixtureGen.fixture(id, seed).page)
-    }
-  }
+      partitions: Int = 0): Dataset[PageRow] =
+    generate(spark, n, partitions)(id => FixtureGen.fixture(id, seed).page)
 
   /** Adversarial corpus twin (threshold-band + inverted-polarity pages). */
   def adversarialPages(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 0): Dataset[PageRow] = {
+      partitions: Int = 0): Dataset[PageRow] =
+    generate(spark, n, partitions)(id => FixtureGen.adversarialFixture(id, seed).page)
+
+  private def generate(spark: SparkSession, n: Long, partitions: Int)(
+      gen: Long => PageRow): Dataset[PageRow] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
     else spark.sparkContext.defaultParallelism * 2
-    spark.range(0L, n, 1L, parts).mapPartitions { ids =>
-      ids.map(id => FixtureGen.adversarialFixture(id, seed).page)
-    }
+    spark.range(0L, n, 1L, parts).mapPartitions(ids => ids.map(id => gen(id)))
   }
 }

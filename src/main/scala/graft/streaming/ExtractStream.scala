@@ -33,14 +33,17 @@ object ExtractStream {
   /** The streaming extraction transform — identical per-row semantics to
     * the batch job (byte-identity carries over by construction).
     * Late-data policy: 10-minute watermark on warc_ts; recrawls of the same
-    * url within the watermark keep the FIRST arrival (dropDuplicates).
+    * URL within the watermark keep the FIRST arrival
+    * (dropDuplicatesWithinWatermark keyed on url alone — keying on
+    * (url, warc_ts) would only drop exact-timestamp replays and let
+    * different-timestamp recrawls through).
     */
   def extract(pages: Dataset[PageRow],
       cfg: Extract.Config = Extract.Default): Dataset[ExtractedDoc] = {
     import pages.sparkSession.implicits._
     val deduped = pages
       .withWatermark("warc_ts", "10 minutes")
-      .dropDuplicates("url", "warc_ts")
+      .dropDuplicatesWithinWatermark("url")
       .as[PageRow]
     deduped.map(p => Extract(p, cfg))
   }

@@ -45,28 +45,52 @@ object SnapshotTable {
   def currentSnapshot(dir: String): Option[Snapshot] = {
     val sd = snapDir(dir)
     if (!Files.exists(sd)) return None
-    val manifestName = "^v(\\d{5})\\.json$".r
-    var best: Option[(Long, Path)] = None
-    val it = Files.list(sd).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      p.getFileName.toString match {
-        case manifestName(idStr) =>
-          val id = idStr.toLong
-          if (best.forall(_._1 < id)) best = Some((id, p))
-        case _ => ()
+    // %05d pads to a MINIMUM of 5 digits — the match must accept more, or
+    // the table wedges silently at snapshot 100000
+    val manifestName = "^v(\\d{5,})\\.json$".r
+    val ids = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
+    val stream = Files.list(sd)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        p.getFileName.toString match {
+          case manifestName(idStr) => ids += ((idStr.toLong, p))
+          case _ => ()
+        }
       }
+    } finally stream.close()
+    // newest first; a manifest that fails to parse may be a torn in-flight
+    // write (bytes land moments after CREATE_NEW makes the name visible):
+    // retry briefly, then fall back to the next-newest parseable manifest.
+    // NOTE plain while loops, no closure: a `return` inside a foreach lambda
+    // would throw NonLocalReturnControl straight into the catch below.
+    def tryParse(manifest: Path): Option[Snapshot] =
+      try {
+        val m = graft.tools.JsonMini.parse(
+          new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
+          .asInstanceOf[Map[String, Any]]
+        Some(Snapshot(
+          m("snapshot_id").asInstanceOf[Long],
+          m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
+          m("rows").asInstanceOf[Long],
+          m("run_ids").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String])))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val sorted = ids.sortBy(-_._1)
+    var k = 0
+    while (k < sorted.length) {
+      var tries = 0
+      while (tries < 5) {
+        tryParse(sorted(k)._2) match {
+          case Some(s) => return Some(s)
+          case None =>
+            tries += 1
+            if (tries < 5) Thread.sleep(20)
+        }
+      }
+      k += 1
     }
-    best.map { case (_, manifest) =>
-      val m = graft.tools.JsonMini.parse(
-        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8))
-        .asInstanceOf[Map[String, Any]]
-      Snapshot(
-        m("snapshot_id").asInstanceOf[Long],
-        m("files").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]),
-        m("rows").asInstanceOf[Long],
-        m("run_ids").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String]))
-    }
+    None
   }
 
   /** Append `df` as a new committed snapshot. `bucketBy` hidden-partitions on
@@ -76,10 +100,36 @@ object SnapshotTable {
     */
   def append(df: DataFrame, dir: String, runId: String,
       urlCol: String = "url", buckets: Int = 16): Snapshot = {
+    // duplicate-runId guard BEFORE the destructive overwrite: re-appending a
+    // committed runId would first DELETE the committed part files (overwrite
+    // mode) and only then fail in commitRun, leaving the manifest pointing
+    // at dead paths
+    val prev = currentSnapshot(dir)
+    require(!prev.exists(_.runIds.contains(runId)),
+      s"runId '$runId' is already committed in snapshot ${prev.map(_.id).getOrElse(-1L)}")
     val runPath = Paths.get(dir, "data", s"run=$runId")
     df.withColumn("bucket", pmod(xxhash64(col(urlCol)), lit(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(runPath.toString)
     commitRun(dir, runId)
+  }
+
+  /** Full JSON string escape — a quote or control char in a path or runId
+    * must not brick the manifest.
+    */
+  private def jsonStr(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length + 8)
+    sb.append('"')
+    v.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
   }
 
   /** Row count of a parquet file from its FOOTER metadata only (no data
@@ -110,11 +160,13 @@ object SnapshotTable {
   def commitRun(dir: String, runId: String): Snapshot = {
     val runPath = Paths.get(dir, "data", s"run=$runId")
     val newFiles =
-      if (Files.exists(runPath))
-        Files.walk(runPath).iterator().asScala
+      if (Files.exists(runPath)) {
+        val walk = Files.walk(runPath)
+        try walk.iterator().asScala
           .filter(p => p.toString.endsWith(".parquet"))
-          .map(_.toString).toSeq.sorted
-      else Seq.empty
+          .map(_.toString).toVector.sorted
+        finally walk.close()
+      } else Seq.empty
     val newRows = newFiles.map(parquetRowCount).sum
     var attempt = 0
     while (attempt < 64) {
@@ -135,8 +187,8 @@ object SnapshotTable {
       Files.createDirectories(snapDir(dir))
       val name = f"v$id%05d.json"
       val json = {
-        val fs = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString("[", ",", "]")
-        val rs = runIds.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+        val fs = files.map(f => jsonStr(f)).mkString("[", ",", "]")
+        val rs = runIds.map(r => jsonStr(r)).mkString("[", ",", "]")
         s"""{"snapshot_id":$id,"files":$fs,"rows":$rows,"run_ids":$rs,"committed_at_ms":${System.currentTimeMillis()}}"""
       }
       try {

@@ -86,6 +86,49 @@ class ScaleFixesSpec extends AnyFunSuite {
       SnapshotTable.commitRun(dir, "dup")
     }
     assert(ex.getMessage.contains("already committed"))
+    // re-APPENDING the same runId must be rejected BEFORE the destructive
+    // overwrite: the committed files must survive and stay readable
+    val ex2 = intercept[IllegalArgumentException] {
+      SnapshotTable.append((0 until 3).map(i => (s"x$i", "c")).toDF("url", "body"), dir, "dup")
+    }
+    assert(ex2.getMessage.contains("already committed"))
+    assert(SnapshotTable.read(spark, dir).get.count() == 5)
+  }
+
+  test("crash between manifest creation and pointer swap is a completed commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaporphan").toString
+    SnapshotTable.append((0 until 4).map(i => (s"u$i", "b")).toDF("url", "body"), dir, "r1")
+    // simulate the crash window: a v00002 manifest exists, pointer still at v00001
+    val snapDir = java.nio.file.Paths.get(dir, "snapshots")
+    val v1 = new String(Files.readAllBytes(snapDir.resolve("v00001.json")), "UTF-8")
+    val v2 = v1.replace("\"snapshot_id\":1", "\"snapshot_id\":2")
+      .replace("\"run_ids\":[\"r1\"]", "\"run_ids\":[\"r1\",\"ghost\"]")
+    Files.write(snapDir.resolve("v00002.json"), v2.getBytes("UTF-8"))
+    // discovery sees the newest manifest (the commit point), not the pointer
+    val cur = SnapshotTable.currentSnapshot(dir).get
+    assert(cur.id == 2L && cur.runIds == Seq("r1", "ghost"))
+    // and the next commit proceeds past it instead of wedging
+    val s3 = SnapshotTable.append((10 until 12).map(i => (s"u$i", "b")).toDF("url", "body"), dir, "r3")
+    assert(s3.id == 3L)
+  }
+
+  test("manifest discovery handles ids beyond 5 digits and quoted runIds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snapwide").toString
+    SnapshotTable.append((0 until 2).map(i => (s"u$i", "b")).toDF("url", "body"), dir, "a")
+    // fabricate a 6-digit manifest id; discovery must pick it up
+    val snapDir = java.nio.file.Paths.get(dir, "snapshots")
+    val v1 = new String(Files.readAllBytes(snapDir.resolve("v00001.json")), "UTF-8")
+    Files.write(snapDir.resolve("v100000.json"),
+      v1.replace("\"snapshot_id\":1", "\"snapshot_id\":100000").getBytes("UTF-8"))
+    assert(SnapshotTable.currentSnapshot(dir).get.id == 100000L)
+    // a runId containing a quote must not brick the manifest
+    val dir2 = Files.createTempDirectory("snapquote").toString
+    val s = SnapshotTable.append((0 until 2).map(i => (s"u$i", "b")).toDF("url", "body"),
+      dir2, "run\"weird\"id")
+    assert(SnapshotTable.currentSnapshot(dir2).get.runIds == Seq("run\"weird\"id"))
+    assert(s.rows == 2L)
   }
 
   test("fused quality counters match the regex formulation exactly") {
