@@ -90,14 +90,22 @@ object Boundary {
       minKeptFraction: Double = 0.8): Option[Region] = {
     val n = blocks.length
     if (n == 0) return None
-    // candidate lines: separator blocks, adjacent ones deduped
-    val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // candidate lines: one entry per RUN of adjacent separator blocks (a
+    // k-block divider is ONE rule line, not ceil(k/2) — deleteSimilarLines
+    // intent; ADVICE r2). Each run is kept as its (start, end) span: as a
+    // lower border the frame begins after the run END, as an upper border it
+    // ends before the run START.
+    val sepRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
     while (i < n) {
-      if (isSeparator(blocks(i)) && (seps.isEmpty || i > seps.last + 1)) seps += i
+      if (isSeparator(blocks(i))) {
+        if (sepRuns.nonEmpty && sepRuns.last._2 == i - 1)
+          sepRuns(sepRuns.length - 1) = (sepRuns.last._1, i)
+        else sepRuns += ((i, i))
+      }
       i += 1
     }
-    if (seps.length < minSeparators) return None
+    if (sepRuns.length < minSeparators) return None
     // kept-signal prefix sums
     val prefix = new Array[Double](n + 1)
     i = 0
@@ -108,17 +116,17 @@ object Boundary {
     }
     val total = prefix(n)
     if (total <= 0) return None
-    // borders: the last separator with <= (1-minKeptFraction)/2 of the signal
-    // before it, and the first separator with as little after it
+    // borders: the last separator run with <= (1-minKeptFraction)/2 of the
+    // signal before its end, and the first run with as little after its start
     val slack = (1.0 - minKeptFraction) / 2.0 * total
-    var loSep = -1
-    var hiSep = n
-    seps.foreach { s =>
-      if (prefix(s + 1) <= slack) loSep = s
-      if (total - prefix(s) <= slack && hiSep == n) hiSep = s
+    var loEnd = -1
+    var hiStart = n
+    sepRuns.foreach { case (start, end) =>
+      if (prefix(end + 1) <= slack) loEnd = end
+      if (total - prefix(start) <= slack && hiStart == n) hiStart = start
     }
-    val lo = loSep + 1
-    val hi = hiSep - 1
+    val lo = loEnd + 1
+    val hi = hiStart - 1
     if (hi < lo) return None
     val inside = prefix(hi + 1) - prefix(lo)
     if (inside < minKeptFraction * total) None

@@ -515,9 +515,13 @@ object Oracles {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
         |a AS (SELECT vec_id AS anchor_id, dv AS av FROM e WHERE vec_id % 37 = 0),
         |dist AS (
+        |  -- same per-element (x-y)^2 accumulation as Spark's sqDist — the
+        |  -- algebraic expansion dot(x,x)-2dot(x,y)+dot(y,y) rounds
+        |  -- differently near a .5e-6 boundary and can tie-flip a cell
+        |  -- assignment (ADVICE r2)
         |  SELECT e.vec_id, e.dv, a.anchor_id,
-        |    round(list_dot_product(e.dv, e.dv) - 2*list_dot_product(e.dv, a.av)
-        |          + list_dot_product(a.av, a.av), 6) AS d2
+        |    round(list_sum(list_transform(list_zip(e.dv, a.av),
+        |          s -> (s[1] - s[2]) * (s[1] - s[2]))), 6) AS d2
         |  FROM e CROSS JOIN a),
         |cells AS (
         |  SELECT vec_id, dv, anchor_id AS cell FROM dist

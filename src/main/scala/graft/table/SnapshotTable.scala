@@ -36,18 +36,17 @@ object SnapshotTable {
   /** The COMMIT POINT is the existence of the versioned manifest file (the
     * Iceberg HadoopTableOperations model): `current` is only a discovery
     * HINT — the authoritative current snapshot is the max-id v*.json. This
-    * is what makes the CREATE_NEW CAS in [[commitRun]] crash-safe: a
+    * is what makes the link-publish CAS in [[commitRun]] crash-safe: a
     * committer that dies between manifest creation and pointer swap has
     * COMMITTED (its data files were fully written before commitRun), and
     * the next reader/committer discovers its manifest by listing instead of
     * wedging on the stale pointer.
     */
-  def currentSnapshot(dir: String): Option[Snapshot] = {
-    val sd = snapDir(dir)
-    if (!Files.exists(sd)) return None
-    // %05d pads to a MINIMUM of 5 digits — the match must accept more, or
-    // the table wedges silently at snapshot 100000
-    val manifestName = "^v(\\d{5,})\\.json$".r
+  // %05d pads to a MINIMUM of 5 digits — the match must accept more, or
+  // the table wedges silently at snapshot 100000
+  private val manifestName = "^v(\\d{5,})\\.json$".r
+
+  private def listManifests(sd: Path): Vector[(Long, Path)] = {
     val ids = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
     val stream = Files.list(sd)
     try {
@@ -60,6 +59,23 @@ object SnapshotTable {
         }
       }
     } finally stream.close()
+    ids.toVector
+  }
+
+  /** Highest manifest id present by NAME, parseable or not — the id
+    * allocator must skip past garbage files (a foreign torn write at
+    * v<max>.json must not hold the CAS token forever).
+    */
+  private def maxManifestId(dir: String): Long = {
+    val sd = snapDir(dir)
+    if (!Files.exists(sd)) 0L
+    else listManifests(sd).foldLeft(0L)((m, ip) => math.max(m, ip._1))
+  }
+
+  def currentSnapshot(dir: String): Option[Snapshot] = {
+    val sd = snapDir(dir)
+    if (!Files.exists(sd)) return None
+    val ids = listManifests(sd)
     // newest first; a manifest that fails to parse may be a torn in-flight
     // write (bytes land moments after CREATE_NEW makes the name visible):
     // retry briefly, then fall back to the next-newest parseable manifest.
@@ -148,8 +164,9 @@ object SnapshotTable {
     * (split from [[append]] so tests can simulate a kill between write and
     * commit).
     *
-    * Concurrency (ADVICE r1): the manifest is created with CREATE_NEW and
-    * its existence IS the commit — two concurrent committers race on the
+    * Concurrency (ADVICE r1): the manifest is published atomically (tmp
+    * write + hard link, see below) and its existence IS the commit — two
+    * concurrent committers race on the
     * same v<id> name, the loser gets FileAlreadyExistsException, re-reads
     * the (now discoverable by listing) current snapshot and retries with
     * the next id (optimistic CAS). A crash between manifest creation and
@@ -173,7 +190,10 @@ object SnapshotTable {
       val prev = currentSnapshot(dir)
       require(!prev.exists(_.runIds.contains(runId)),
         s"runId '$runId' is already committed in snapshot ${prev.map(_.id).getOrElse(-1L)}")
-      val id = prev.map(_.id + 1).getOrElse(1L)
+      // allocate PAST any manifest name already on disk, parseable or not —
+      // an unparseable v<max>.json (foreign/legacy torn write) must not
+      // permanently collide with prev.id + 1
+      val id = math.max(prev.map(_.id + 1).getOrElse(1L), maxManifestId(dir) + 1)
       val files = prev.map(_.files).getOrElse(Seq.empty) ++ newFiles
       val runIds = prev.map(_.runIds).getOrElse(Seq.empty) :+ runId
       // rows propagate only when the whole history is counted (-1 = unknown
@@ -191,10 +211,20 @@ object SnapshotTable {
         val rs = runIds.map(r => jsonStr(r)).mkString("[", ",", "]")
         s"""{"snapshot_id":$id,"files":$fs,"rows":$rows,"run_ids":$rs,"committed_at_ms":${System.currentTimeMillis()}}"""
       }
+      // ADVICE r2: a crash mid-Files.write(CREATE_NEW) leaves a torn v<max>
+      // .json whose NAME holds the CAS token forever — every later commit
+      // collides on it and the table wedges. Publish atomically instead:
+      // write the FULL manifest to a private tmp file, then hard-link it to
+      // the versioned name. link(2) fails with EEXIST atomically (unlike
+      // Files.move without REPLACE_EXISTING, whose exists-check + rename is
+      // two syscalls, and unlike ATOMIC_MOVE, whose rename(2) silently
+      // replaces on Linux) — so the CAS is kept AND a visible manifest is
+      // always complete (Iceberg's rename-based commit, done with link).
+      val tmp = snapDir(dir).resolve(s".$name.$runId.$attempt.tmp")
       try {
-        // CREATE_NEW: the manifest name is the CAS token
-        Files.write(snapDir(dir).resolve(name), json.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(snapDir(dir).resolve(name), tmp)
+        finally Files.deleteIfExists(tmp)
         val ptrTmp = snapDir(dir).resolve(s"current.$runId.tmp")
         Files.write(ptrTmp, name.getBytes(StandardCharsets.UTF_8))
         Files.move(ptrTmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,

@@ -67,7 +67,11 @@ object ExtractMain {
       import scala.jdk.CollectionConverters._
       val lineageDf = ExtractJob.dedupeLineage(rows.asScala.toSeq)
         .map(l => l.copy(snapshot_id = snap.id)).toDF()
-      lineageDf.coalesce(1).write.mode("append").parquet(s"$tableDir/metrics")
+      // metrics_v2: the lineage schema gained an `attempt` column; appending
+      // into a directory holding pre-`attempt` files would leave a
+      // mixed-schema table whose read is nondeterministic without
+      // mergeSchema. A schema change versions the path (ADVICE r2).
+      lineageDf.coalesce(1).write.mode("append").parquet(s"$tableDir/metrics_v2")
     }
     // row count from the snapshot MANIFEST (parquet footers at commit time)
     // — a full table re-count here would be a second whole-table job at

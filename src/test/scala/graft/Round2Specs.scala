@@ -186,6 +186,19 @@ class SeparatorFrameSpec extends AnyFunSuite {
     assert(Boundary.findSeparatorFrame(blocks, labels).isEmpty)
   }
 
+  test("a run of adjacent separators counts as ONE line (ADVICE r2)") {
+    // a single 7-block divider run must NOT satisfy minSeparators=4 alone
+    val blocks = (Array(content(0)) ++ (1 to 7).map(sep) ++ Array(content(8))).toArray
+    val labels = blocks.map(b => b.nChars >= 300)
+    assert(Boundary.findSeparatorFrame(blocks, labels).isEmpty,
+      "one 7-block run is one line, not 4")
+    // and when a run IS a border, the frame starts after the run's END
+    val b2 = Array(chrome(0), sep(1), sep(2), sep(3), content(4), sep(5),
+      content(6), sep(7), content(8), sep(9), chrome(10))
+    val l2 = b2.map(b => b.nChars >= 300)
+    assert(Boundary.findSeparatorFrame(b2, l2).contains(Boundary.Region(4, 8)))
+  }
+
   test("pipeline composition: separators kind falls back to contour") {
     // a page with no separator blocks extracts identically under both kinds
     val para = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " * 8).trim

@@ -57,6 +57,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(s3.id == 2L && s3.runIds == Seq("run1", "run3"))
   }
 
+  test("a torn v<max>.json cannot wedge the table (ADVICE r2)") {
+    val dir = Files.createTempDirectory("snap3").toString
+    SnapshotTable.append(urls(0, 5), dir, "r1", buckets = 2)
+    // foreign/legacy torn manifest at the max version name: truncated JSON
+    Files.write(java.nio.file.Paths.get(dir, "snapshots", "v00002.json"),
+      """{"snapshot_id":2,"files":["/x""".getBytes("UTF-8"))
+    // readers fall back to the newest parseable manifest
+    assert(SnapshotTable.currentSnapshot(dir).get.id == 1L)
+    // and the next commit allocates PAST the garbage name instead of
+    // colliding on it 64 times
+    val s = SnapshotTable.append(urls(5, 9), dir, "r2", buckets = 2)
+    assert(s.id == 3L && s.runIds == Seq("r1", "r2"))
+    assert(SnapshotTable.read(spark, dir).get.count() == 9)
+    // no stray .tmp files left behind by the link-publish
+    val strays = new java.io.File(s"$dir/snapshots").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(strays.isEmpty, s"stray tmp manifests: ${strays.mkString(",")}")
+  }
+
   test("bucket layout spreads urls (hidden partitioning)") {
     val dir = Files.createTempDirectory("snap2").toString
     SnapshotTable.append(urls(0, 200), dir, "r1", buckets = 8)
