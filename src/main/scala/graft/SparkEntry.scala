@@ -102,6 +102,8 @@ object SparkEntry {
     // against independent SQL arithmetic
     "q_multimodal_pixels" -> (PipelineQueries.qMultimodalPixels _),
     "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
+    "q_multimodal_video" -> (PipelineQueries.qMultimodalVideo _),
+    "q_multimodal_mjpeg" -> (PipelineQueries.qMultimodalMjpeg _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_profiled" -> (PipelineQueries.qExtractProfiled _),

@@ -582,6 +582,23 @@ object Oracles {
         |       cast(sum((x + y + doc_id) % 256) AS BIGINT) AS sum_b
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_multimodal_video" ->
+      """WITH xs AS (SELECT unnest(generate_series(0, 14)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 6)) AS y),
+        |fs AS (SELECT unnest(generate_series(0, 10)) AS f),
+        |g AS (
+        |  SELECT d.doc_id, fs.f, xs.x, ys.y,
+        |         8 + d.doc_id % 8 AS w, 4 + d.doc_id % 4 AS h
+        |  FROM documents d CROSS JOIN xs CROSS JOIN ys CROSS JOIN fs
+        |  WHERE xs.x < 8 + d.doc_id % 8 AND ys.y < 4 + d.doc_id % 4
+        |    AND fs.f < 6 + d.doc_id % 5 AND fs.f % 2 = 0)
+        |SELECT doc_id, cast(f AS BIGINT) AS frame_idx,
+        |       cast(max(w) AS BIGINT) AS width, cast(max(h) AS BIGINT) AS height,
+        |       cast(sum((x*7 + y*13 + f*17 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       cast(sum((x*3 + y*5 + f*11 + doc_id) % 256) AS BIGINT) AS sum_g,
+        |       cast(sum((x + y + f*7 + doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM g GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin,
+
     "q_multimodal_audio" ->
       """WITH is_ AS (SELECT unnest(generate_series(0, 298)) AS i),
         |s AS (

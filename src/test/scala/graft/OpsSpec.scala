@@ -86,11 +86,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq && a.length == 16)
     assert(math.abs(a.sum - 1.0f) < 1e-3)
   }
-  test("frame sampling shape") {
-    val bytes = Array.tabulate[Byte](5000)(i => i.toByte)
-    val frames = Multimodal.sampleFrames(bytes, everyN = 2)
-    assert(frames.map(_._1) == Seq(0, 2, 4))
-    assert(Multimodal.sampleFrames(Array.emptyByteArray, 2).isEmpty)
+  test("AVI-DIB round trip is closed-form exact (container walk + raw frames)") {
+    val w = 11; val h = 5 // odd width exercises the 4-byte DIB row padding
+    def frame(f: Int) = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      (((x * 7 + y * 13 + f * 17) % 256) << 16) |
+        (((x * 3 + y * 5 + f * 11) % 256) << 8) | ((x + y + f * 7) % 256)
+    }
+    val frames = (0 until 7).map(frame)
+    val avi = Multimodal.encodeAviVideo(w, h, 10, frames, codec = "dib")
+    val meta = Multimodal.parseMeta(avi)
+    assert(meta.format == "avi" && meta.width == w && meta.height == h)
+    val fs = Multimodal.decodeAviFrames(avi, everyN = 3)
+    assert(fs.map(_.frameIdx) == Seq(0, 3, 6), "every 3rd frame sampled")
+    fs.foreach { s =>
+      val px = frame(s.frameIdx)
+      assert(s.width == w && s.height == h)
+      assert(s.sumR == px.map(v => ((v >>> 16) & 0xff).toLong).sum)
+      assert(s.sumG == px.map(v => ((v >>> 8) & 0xff).toLong).sum)
+      assert(s.sumB == px.map(v => (v & 0xff).toLong).sum)
+    }
+  }
+  test("AVI-MJPEG frames decode via ImageIO (real JPEG per 00dc chunk)") {
+    val w = 16; val h = 8
+    // solid-color frames: JPEG's DCT of a constant block is DC-only, so the
+    // decode is near-exact — assert tight tolerance, not byte-identity
+    def solid(f: Int) = Array.fill(w * h)((100 << 16) | ((50 + f * 20) << 8) | 200)
+    val frames = (0 until 4).map(solid)
+    val avi = Multimodal.encodeAviVideo(w, h, 10, frames, codec = "mjpeg")
+    val fs = Multimodal.decodeAviFrames(avi, everyN = 1)
+    assert(fs.map(_.frameIdx) == Seq(0, 1, 2, 3))
+    fs.foreach { s =>
+      assert(s.width == w && s.height == h)
+      val n = (w * h).toLong
+      assert(math.abs(s.sumR - 100 * n) <= 3 * n, s"r=${s.sumR}")
+      assert(math.abs(s.sumG - (50 + s.frameIdx * 20) * n) <= 3 * n, s"g=${s.sumG}")
+      assert(math.abs(s.sumB - 200 * n) <= 3 * n, s"b=${s.sumB}")
+    }
+    // and the MJPEG chunk decode IS ImageIO's: identical to decoding the
+    // same JPEG bytes directly
+    val direct = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, solid(0), 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val px = Multimodal.decodeImage(bos.toByteArray).get
+      Multimodal.channelSums(px)
+    }
+    assert((fs(0).sumR, fs(0).sumG, fs(0).sumB) == direct)
+  }
+  test("AVI decode never throws on malformed bytes") {
+    assert(Multimodal.decodeAviFrames(null, 2).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.emptyByteArray, 2).isEmpty)
+    assert(Multimodal.decodeAviFrames("RIFFxxxxAVI ".getBytes, 2).isEmpty)
+    val good = Multimodal.encodeAviVideo(4, 4, 10,
+      Seq(Array.fill(16)(0x808080)), codec = "dib")
+    // truncate mid-frame: clean stop, no throw
+    assert(Multimodal.decodeAviFrames(good.take(good.length - 10), 1)
+      .forall(_.width == 4))
   }
 }
 
