@@ -104,6 +104,8 @@ object SparkEntry {
     "q_multimodal_audio" -> (PipelineQueries.qMultimodalAudio _),
     "q_multimodal_video" -> (PipelineQueries.qMultimodalVideo _),
     "q_multimodal_mjpeg" -> (PipelineQueries.qMultimodalMjpeg _),
+    "q_extract_fbsect" -> (PipelineQueries.qExtractFbsect _),
+    "q_extract_cocoedge" -> (PipelineQueries.qExtractCocoedge _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_profiled" -> (PipelineQueries.qExtractProfiled _),

@@ -543,4 +543,111 @@ object FixtureGen {
 
   def adversarial(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
     (0L until n.toLong).map(adversarialFixture(_, seed))
+
+  // ------------------------------------------- region-classifier set (r3)
+  //
+  // Per-kind ground-truth corpora for the REGION classifiers (VERDICT r2
+  // item 3): pages whose expected text under fbcitb / cococlust is derived
+  // by the GENERATOR (double-entry), engineered with hard margins so the
+  // region decision is provably on the right side:
+  //  - "fbsect": an <aside> of mid-band paragraphs sits BETWEEN two runs of
+  //    >= 3 saturated article paragraphs, so the aside tagPath-region's
+  //    outside median is 255 on both sides. F(~125-190) <= B(255) ⇒ fbcitb
+  //    drops the WHOLE aside by region polarity even though every aside
+  //    block clears the absMin floor — the per-region fg/bg decision of
+  //    binarizeFBCITB.cpp:269-381. Expected = article paragraphs only.
+  //  - "cocoedge": a dim section (150-180 char paragraphs, signal ~165)
+  //    surrounded by zero-signal nav on both sides forms its own Canny
+  //    edge region with fg(~165) > bg(0) ⇒ cococlust KEEPS it (threshold =
+  //    midpoint ~82), while window kinds see a document-scale mean pulled
+  //    to ~225 by the saturated article and drop it — the local-contrast
+  //    recovery that is the point of per-region binarization
+  //    (binarizeCOCOCLUST.cpp:414-437). Expected = article + dim paragraphs.
+
+  private def clampPara(rng: Random, minChars: Int, maxChars: Int): String = {
+    val p = paragraph(rng, minChars)
+    if (p.length <= maxChars) p
+    else {
+      val cut = p.lastIndexOf('.', maxChars - 1)
+      if (cut >= minChars - 1) p.substring(0, cut + 1)
+      else p.substring(0, maxChars).trim + "."
+    }
+  }
+
+  private def genFbsect(rng: Random): (String, List[String]) = {
+    val k1 = 4 + rng.nextInt(3)
+    val k2 = 4 + rng.nextInt(3)
+    val m = 2 + rng.nextInt(2) // >= 2: an isolated single mid-band block
+    // would be smoothed back IN by the median post-pass
+    val a1 = List.fill(k1)(paragraph(rng, 300 + rng.nextInt(120)))
+    val mid = List.fill(m)(clampPara(rng, 125, 190))
+    val a2 = List.fill(k2)(paragraph(rng, 300 + rng.nextInt(120)))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 4 + rng.nextInt(3))).append("</nav></header>")
+    sb.append("<article>")
+    a1.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<aside class=\"pullquotes\">")
+    mid.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</aside>")
+    sb.append("<article>")
+    a2.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 4 + rng.nextInt(3))).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, a1 ++ a2)
+  }
+
+  private def genCocoedge(rng: Random): (String, List[String]) = {
+    val k = 5 + rng.nextInt(3)
+    // m >= 4 and a 4-5-block mid-nav gap: the contour boundary's gap
+    // penalty is 0.25 x mean(kept signal) per dropped block (~95 worst
+    // case), so the dim section's sum (>= 4 x 160) must beat gap x penalty
+    // (<= 5 x 99) with margin — otherwise Kadane crops the dim section even
+    // though the classifier kept it
+    val m = 4 + rng.nextInt(2)
+    val art = List.fill(k)(paragraph(rng, 300 + rng.nextInt(120)))
+    // 160-190 chars: tight range keeps in-region gradients (<= ~32) far
+    // below the Canny hysteresis thresholds set by the ~175-sized section
+    // boundaries, so the dim section stays ONE region
+    val dim = List.fill(m)(clampPara(rng, 160, 190))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 5 + rng.nextInt(3))).append("</nav></header>")
+    sb.append("<article>")
+    art.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<nav class=\"mid\">").append(navList(rng, 4 + rng.nextInt(2))).append("</nav>")
+    sb.append("<div class=\"archive\">")
+    dim.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</div>")
+    sb.append("<footer>").append(navList(rng, 5 + rng.nextInt(3))).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, art ++ dim)
+  }
+
+  def fbsectFixture(id: Long, seed: Long = 42L): Fixture = {
+    val url = s"https://reg-fbsect.example/r/$id"
+    val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(id))
+    val (html, paras) = genFbsect(rng)
+    val ts = new Timestamp(1700000000000L + (id % 86400000L))
+    Fixture(PageRow(url, ts, html.getBytes(StandardCharsets.UTF_8),
+      paras.headOption.getOrElse(""), "en"), paras.mkString("\n"), "fbsect")
+  }
+
+  def cocoedgeFixture(id: Long, seed: Long = 42L): Fixture = {
+    val url = s"https://reg-cocoedge.example/r/$id"
+    val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(id))
+    val (html, paras) = genCocoedge(rng)
+    val ts = new Timestamp(1700000000000L + (id % 86400000L))
+    Fixture(PageRow(url, ts, html.getBytes(StandardCharsets.UTF_8),
+      paras.headOption.getOrElse(""), "en"), paras.mkString("\n"), "cocoedge")
+  }
+
+  def fbsect(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(fbsectFixture(_, seed))
+
+  def cocoedge(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(cocoedgeFixture(_, seed))
 }

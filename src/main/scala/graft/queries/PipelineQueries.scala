@@ -24,13 +24,14 @@ object PipelineQueries {
 
   private val N = 400L // fixture docs per query — small but covers all corpora
   private val AdvN = 200L // adversarial docs (band + inverted)
+  private val RegN = 140L // region-classifier ground-truth docs per corpus
 
   /** Queries whose oracle is a frozen golden parquet (name → table file). */
   val goldenBacked: Seq[String] = Seq(
     "q_extract", "q_decode_charsets", "q_quarantine", "q_blocks",
     "q_boundary", "q_resume_antijoin", "q_orientation",
     "q_extract_adversarial", "q_extract_houghsep", "q_extract_profiled",
-    "q_multimodal_mjpeg") ++
+    "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(
@@ -132,6 +133,23 @@ object PipelineQueries {
   def qExtractAdversarial(spark: SparkSession, dir: String): DataFrame = {
     val pages = PageSource.adversarialPages(spark, AdvN)
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = "nativeadaptive"))
+    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+  }
+
+  /** Region-classifier ground-truth corpora under their kinds (VERDICT r2
+    * item 3): goldens are frozen only behind GoldenParquet's refuse-gate,
+    * which checks pipeline == FixtureGen ground truth on these exact pages —
+    * TRUE double-entry rows for fbcitb and cococlust (not self-frozen).
+    */
+  def qExtractFbsect(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.fbsectPages(spark, RegN)
+    val cfg = Extract.Config(classifier = Classifiers.Config(kind = "fbcitb"))
+    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+  }
+
+  def qExtractCocoedge(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.cocoedgePages(spark, RegN)
+    val cfg = Extract.Config(classifier = Classifiers.Config(kind = "cococlust"))
     hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
   }
 

@@ -24,6 +24,15 @@ object PageSource {
       partitions: Int = 0): Dataset[PageRow] =
     generate(spark, n, partitions)(id => FixtureGen.adversarialFixture(id, seed).page)
 
+  /** Region-classifier ground-truth corpora (VERDICT r2 item 3). */
+  def fbsectPages(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[PageRow] =
+    generate(spark, n, partitions)(id => FixtureGen.fbsectFixture(id, seed).page)
+
+  def cocoedgePages(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[PageRow] =
+    generate(spark, n, partitions)(id => FixtureGen.cocoedgeFixture(id, seed).page)
+
   private def generate(spark: SparkSession, n: Long, partitions: Int)(
       gen: Long => PageRow): Dataset[PageRow] = {
     import spark.implicits._

@@ -42,9 +42,14 @@ object FixtureCheck {
       "write mode freezes the DEFAULT-pipeline goldens; refusing a non-default kind")
     val cfg = Extract.Config(classifier = graft.classify.Classifiers.Config(
       kind = kindName, morphIters = if (naive) 0 else 2))
-    // mode "adv" checks the adversarial corpora instead
-    val fixtures =
-      if (mode == "adv") FixtureGen.adversarial(n) else FixtureGen.fixtures(n)
+    // mode "adv" checks the adversarial corpora; "fbsect"/"cocoedge" the
+    // region-classifier ground-truth corpora (pass the matching kind)
+    val fixtures = mode match {
+      case "adv" => FixtureGen.adversarial(n)
+      case "fbsect" => FixtureGen.fbsect(n)
+      case "cocoedge" => FixtureGen.cocoedge(n)
+      case _ => FixtureGen.fixtures(n)
+    }
     var pass = 0
     val failByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val totalByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)

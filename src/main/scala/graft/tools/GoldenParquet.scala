@@ -38,7 +38,22 @@ object GoldenParquet {
       if (graft.pipeline.Extract(f.page, advCfg).extracted_text != f.expected) bad += 1
     }
     require(bad == 0, s"REFUSING: adversarial nativeadaptive != ground truth on $bad/200")
-    println("double-entry gates green (400 standard + 200 adversarial)")
+    // region-classifier corpora (VERDICT r2 item 3): fbcitb and cococlust
+    // each anchored to generator ground truth on their own corpus
+    val fbCfg = graft.pipeline.Extract.Config(
+      classifier = graft.classify.Classifiers.Config(kind = "fbcitb"))
+    graft.fixtures.FixtureGen.fbsect(140).foreach { f =>
+      if (graft.pipeline.Extract(f.page, fbCfg).extracted_text != f.expected) bad += 1
+    }
+    require(bad == 0, s"REFUSING: fbsect fbcitb != ground truth on $bad/140")
+    val coCfg = graft.pipeline.Extract.Config(
+      classifier = graft.classify.Classifiers.Config(kind = "cococlust"))
+    graft.fixtures.FixtureGen.cocoedge(140).foreach { f =>
+      if (graft.pipeline.Extract(f.page, coCfg).extracted_text != f.expected) bad += 1
+    }
+    require(bad == 0, s"REFUSING: cocoedge cococlust != ground truth on $bad/140")
+    println("double-entry gates green (400 standard + 200 adversarial + " +
+      "140 fbsect + 140 cocoedge)")
     if (mode != "write") return
 
     val spark = SparkSession.builder()

@@ -67,3 +67,41 @@ class AdversarialSpec extends AnyFunSuite {
     assert(disagree2 > 0, "localotsu must diverge from sauvola somewhere on band pages")
   }
 }
+
+/** Region-classifier ground-truth corpora (VERDICT r2 item 3): fbcitb and
+  * cococlust are anchored to FixtureGen's independent expected text — and
+  * the corpora DISCRIMINATE: other kinds provably fail on them.
+  */
+class RegionGroundTruthSpec extends AnyFunSuite {
+
+  private val n = 80
+
+  private def run(f: FixtureGen.Fixture, kind: String): Boolean = {
+    val cfg = Extract.Config(classifier = Classifiers.Config(kind = kind))
+    Extract(f.page, cfg).extracted_text == f.expected
+  }
+
+  test("fbsect: fbcitb recovers ground truth on every page") {
+    FixtureGen.fbsect(n).foreach(f => assert(run(f, "fbcitb"), f.page.url))
+  }
+
+  test("fbsect: global otsu keeps the aside region and fails everywhere") {
+    // the aside's mid-band blocks clear a document-global threshold; only
+    // the per-region F<=B polarity decision drops the whole subtree
+    val failures = FixtureGen.fbsect(n).count(f => !run(f, "otsu"))
+    assert(failures == n, s"expected otsu to fail on all $n, failed on $failures")
+  }
+
+  test("cocoedge: cococlust recovers ground truth on every page") {
+    FixtureGen.cocoedge(n).foreach(f => assert(run(f, "cococlust"), f.page.url))
+  }
+
+  test("cocoedge: default sauvola drops the dim section on most pages") {
+    // the document-scale window mean (~225, pulled up by the saturated
+    // article) sits above the dim section's ~175 signal; only per-region
+    // local contrast recovers it — the point of region binarization
+    val failures = FixtureGen.cocoedge(n).count(f => !run(f, "sauvola"))
+    assert(failures * 10 >= n * 8,
+      s"expected sauvola to fail on >=80% of $n, failed on $failures")
+  }
+}
