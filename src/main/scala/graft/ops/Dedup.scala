@@ -115,10 +115,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash column over the distinct-token set (near-dup
-    * fingerprint; hamming-close simhashes = near-dup texts).
+  /** 60-bit SimHash column over the distinct-token set (near-dup
+    * fingerprint; hamming-close simhashes = near-dup texts). 60 bits, not
+    * 64: each per-token hash is the first 15 hex chars of md5 — the 16th
+    * nibble would push `conv(...).cast(long)` past Long.MaxValue, where the
+    * unsigned-string→long cast nulls out; 60 deterministic bits beat 64
+    * bits with an overflow seam.
     */
-  def simhash64(textCol: Column): Column = {
+  def simhash60(textCol: Column): Column = {
     val toks = array_distinct(split(textCol, "\\s+"))
     // per-token 64-bit hash from the first 16 hex chars of md5
     val h = transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))

@@ -56,16 +56,35 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Plane count sized to the corpus: enough sign-hyperplanes that an
+    * evenly-hashed corpus lands ~`targetBucket` vectors per bucket, so
+    * in-bucket pair generation stays ~N·targetBucket/2 instead of drifting
+    * toward N²/4 as the corpus grows. Use as
+    * `cosineNearDupPairs(c, id, v, t, nPlanesFor(c.count()))` when the
+    * corpus size is not known a priori (one cheap count of the id column).
+    */
+  def nPlanesFor(corpusCount: Long, targetBucket: Long = 1024L): Int = {
+    require(corpusCount >= 0 && targetBucket > 0)
+    var p = 2
+    while (p < 24 && (corpusCount >> p) > targetBucket) p += 1
+    p
+  }
+
   /** Embedding-cosine near-duplicate pairs — the embedding-space member of
     * the dedup family: pairs with cosine >= threshold, candidate space
     * limited to matching LSH sign buckets (the 100 TB shape; recall traded
     * via nPlanes exactly as in [[bucketedTopK]]). Cosine is rounded to 6
     * decimals BEFORE thresholding so any engine reproducing the arithmetic
     * lands on the same pair set.
+    *
+    * `nPlanes` is deliberately NOT defaulted: 2^nPlanes buckets bound the
+    * candidate-pair blowup (~N²/2^nPlanes), so a fixed small default is a
+    * scale foot-gun — size it with [[nPlanesFor]] or from corpus knowledge.
     */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 2): DataFrame = {
+      threshold: Double, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes out of range: $nPlanes")
     val b = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
     val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
     val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))

@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * of the host. This operator finds and strips them.
   *
   * Scale shape (100 TB): one shuffle on (group, unit) with map-side partial
-  * aggregation over DISTINCT doc-unit pairs; per-group doc totals are a tiny
-  * aggregate (≤ #hosts rows) joined broadcast; the recurring set (chrome) is
-  * collected per group and broadcast back, so the STRIP over the big table
-  * is a zero-shuffle per-row higher-order filter.
+  * aggregation over DISTINCT doc-unit pairs; per-group doc totals (≤ #hosts
+  * rows) and the per-group chrome sets are joined back WITHOUT a broadcast
+  * hint — at 10^8 hosts a per-host chrome frame exceeds any broadcast
+  * budget, so the strategy is left to AQE, which sees the aggregate's
+  * ACTUAL materialized size at runtime: small chrome → runtime-converted
+  * broadcast join (plus local shuffle read, no network redistribution of
+  * the big table); chrome above `spark.sql.adaptive.autoBroadcastJoinThreshold`
+  * → plain shuffle join on (group), which is exactly the safe plan at real
+  * host cardinality.
   */
 object TemplateChrome {
 
@@ -34,7 +39,7 @@ object TemplateChrome {
       .agg(count(lit(1)).as("n_docs")) // doc-distinct by construction
     val totals = df.groupBy(col(groupCol))
       .agg(countDistinct(col(idCol)).as("n_total"))
-    counts.join(broadcast(totals), groupCol)
+    counts.join(totals, groupCol)
       .filter(col("n_docs") >= minDocs &&
         col("n_docs") >= col("n_total") * minFrac)
       .select(col(groupCol), col("unit"), col("n_docs"))
@@ -42,15 +47,17 @@ object TemplateChrome {
 
   /** Strip recurring units from every document: adds `<unitsCol>_clean`
     * (array with chrome units removed, multiplicity preserved) via a per-row
-    * higher-order filter against the broadcast chrome set — no shuffle of
-    * the big table.
+    * higher-order filter against the joined chrome set. The chrome join
+    * carries NO broadcast hint (see scale note above): AQE broadcasts it at
+    * runtime when it is actually small and falls back to a shuffle join on
+    * (group) when the per-host chrome frame is beyond the broadcast budget.
     */
   def strip(
       df: DataFrame, groupCol: String, idCol: String, unitsCol: String,
       minDocs: Int = 2, minFrac: Double = 0.8): DataFrame = {
     val chrome = recurringUnits(df, groupCol, idCol, unitsCol, minDocs, minFrac)
       .groupBy(col(groupCol)).agg(collect_set(col("unit")).as("_chrome"))
-    df.join(broadcast(chrome), Seq(groupCol), "left")
+    df.join(chrome, Seq(groupCol), "left")
       .withColumn(s"${unitsCol}_clean",
         when(col("_chrome").isNull, col(unitsCol))
           .otherwise(filter(col(unitsCol), u => !array_contains(col("_chrome"), u))))

@@ -1,6 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.classify.Classifiers
 import graft.core.Block
 
@@ -74,5 +76,123 @@ class VariancesMask3Spec extends AnyFunSuite {
     val keep = Classifiers.classify(blocks, Classifiers.Config(kind = "variances"))
     ((tagHi - 2) to tagHi).foreach(i =>
       assert(keep(i), s"tagline $i must survive with no noise evidence"))
+  }
+}
+
+/** TemplateChrome joins carry no broadcast hint (VERDICT r2 item 5): AQE
+  * picks broadcast at runtime when the chrome frame is actually small and
+  * falls back to a shuffle join when it exceeds the broadcast budget — the
+  * only plan that survives 10^8 hosts.
+  */
+class TemplateChromePlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def corpus() = {
+    import spark.implicits._
+    (0 until 40).flatMap { h =>
+      (0 until 5).map { d =>
+        (s"host$h.example", s"host$h/doc$d",
+          Seq(s"© host$h footer", "nav home about", s"body text $h-$d", s"unique line $d of $h"))
+      }
+    }.toDF("host", "id", "units")
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("above the broadcast budget the strip join degrades to a shuffle join (no BroadcastExchange)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = corpus()
+      val stripped = graft.ops.TemplateChrome.strip(df, "host", "id", "units")
+      val plan = executedPlan(stripped)
+      assert(!plan.contains("BroadcastExchange"),
+        s"chrome beyond the broadcast budget must not be broadcast:\n$plan")
+      // semantics identical to the broadcastable plan
+      val cleaned = stripped.select(col("id"), col("units_clean"))
+        .as[(String, Seq[String])](org.apache.spark.sql.Encoders.product[(String, Seq[String])])
+        .collect().toMap
+      assert(cleaned.size == 200)
+      assert(cleaned("host3/doc2") == Seq("body text 3-2", "unique line 2 of 3"))
+    }
+  }
+
+  test("small chrome is broadcast at runtime by AQE (no hint in the plan source)") {
+    val df = corpus()
+    val stripped = graft.ops.TemplateChrome.strip(df, "host", "id", "units")
+    val plan = executedPlan(stripped)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"a tiny chrome frame should be runtime-broadcast under AQE:\n$plan")
+  }
+}
+
+/** cosineNearDupPairs no longer defaults nPlanes (VERDICT r2 item 8):
+  * nPlanesFor sizes the bucket count to the corpus so candidate-pair
+  * generation stays bounded instead of drifting to N²/4.
+  */
+class NearDupScaleSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("nPlanesFor grows with the corpus and bounds the expected bucket size") {
+    import graft.ops.Similarity.nPlanesFor
+    assert(nPlanesFor(0) == 2 && nPlanesFor(4096) == 2)
+    assert(nPlanesFor(1L << 20) == 10)   // 1M / 2^10 = 1024 = targetBucket
+    assert(nPlanesFor(1L << 30) == 20)
+    assert(nPlanesFor(Long.MaxValue) == 24) // capped
+    (0 to 40).foreach { e =>
+      val n = 1L << e
+      val p = nPlanesFor(n)
+      assert(p >= 2 && p <= 24 && (p == 24 || (n >> p) <= 1024))
+    }
+  }
+
+  test("10k vectors: candidate pairs stay bounded under nPlanesFor sizing") {
+    import spark.implicits._
+    val n = 10000
+    // deterministic pseudo-random 8-dim vectors (no RNG state); a DISTINCT
+    // multiplier per dimension so coordinates decorrelate across i — a
+    // single shared multiplier puts the whole corpus on a line, which no
+    // hyperplane family can bucket
+    val primes = Array(31, 131, 271, 401, 523, 653, 787, 919)
+    val corpus = (0 until n).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * primes(d)) % 997 - 498).toDouble))
+    }.toDF("vec_id", "dv")
+    val p = graft.ops.Similarity.nPlanesFor(n.toLong, targetBucket = 64)
+    // candidate pairs = sum over buckets of c*(c-1)/2 — measure it directly
+    val sizes = corpus
+      .withColumn("bucket", graft.ops.Similarity.lshBucket(col("dv"), p))
+      .groupBy("bucket").count().as[(Int, Long)].collect()
+    val candidates = sizes.map { case (_, c) => c * (c - 1) / 2 }.sum
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(candidates < allPairs / 10,
+      s"bucketing must prune >90% of the pair space: $candidates vs $allPairs")
+    // and the operator itself runs to completion on the bounded space
+    val pairs = graft.ops.Similarity.cosineNearDupPairs(
+      corpus, "vec_id", "dv", threshold = 0.999, nPlanes = p)
+    assert(pairs.count() >= 0)
   }
 }
