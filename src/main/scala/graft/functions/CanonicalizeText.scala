@@ -63,5 +63,7 @@ object GraftFunctions {
       "graft_skeleton", exprs => SkeletonText(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quality_counts", exprs => TextQualityCounts(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lang_id", exprs => LangIdExpr(exprs.head), "scala_udf")
   }
 }

@@ -42,31 +42,20 @@ object TextStats {
       .drop("_qc")
   }
 
-  /** Stopword-profile language id over a fixed marker table (n-gram
-    * heuristic family). Scores = count of distinct language markers present
-    * in the token set; argmax wins, ties broken by language code order.
-    * Markers chosen from top function words of each language.
+  /** Character-trigram language id over the frozen 25-language profile
+    * table [[LangProfiles]] (Cavnar–Trenkle n-gram family; replaces the
+    * r1/r2 stopword-marker toy). Integer per-mille scoring, argmax, ties to
+    * the smaller language code, "und" for zero evidence — exactly the
+    * arithmetic of [[graft.functions.LangIdExpr]], which backs this column
+    * as a one-pass native codegen expression (resolved through the function
+    * registry — call `GraftFunctions.register(spark)` before analysis, or
+    * use [[langIdOf]] which does it for you).
     */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
-    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "mit", "ein", "für", "auf"),
-    "es" -> Seq("el", "la", "de", "que", "los", "por", "con", "una", "para", "está"),
-    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "que", "une", "avec"),
-    "it" -> Seq("il", "di", "che", "per", "con", "non", "una", "sono", "della", "nel")
-  )
+  def langId(text: Column): Column = call_function("graft_lang_id", text)
 
-  def langScores(text: Column): Seq[(String, Column)] =
-    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> size(array_intersect(
-        split(lower(text), "\\s+"), array(markers.map(lit): _*)))
-    }
-
-  /** Predicted language code ("und" when no marker hits). */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val best = scores.map(_._2).reduce(greatest(_, _))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
+  /** langId with function registration handled (DataFrame entry point). */
+  def langIdOf(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("lang_pred", langId(col(textCol)))
   }
 }

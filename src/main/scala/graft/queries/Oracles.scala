@@ -432,25 +432,46 @@ object Oracles {
         |       substring(canon, 1, 60) AS head
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Char n-gram (1..3) language id: the oracle REPLAYS the frozen profile
+    // table (graft.ops.LangProfiles.weightTable — same 25-language integer
+    // per-mille weights the native LangIdExpr scores against) but recomputes
+    // normalization, n-gram extraction, the integer occurrence-weight dot
+    // product, the cosine-squared score dot²/‖w_L‖² (two IEEE double ops
+    // over exact integers — bit-identical across engines) and the argmax
+    // entirely in SQL.
     "q_lang_id" -> {
-      val markers = graft.ops.TextStats.langMarkers.toSeq.sortBy(_._1)
-      val scoreCols = markers.map { case (lang, ws) =>
-        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
-        s"    len(list_distinct(list_intersect(toks, $lst))) AS s_$lang"
-      }.mkString(",\n")
-      val best = markers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
-      val cases = markers.map { case (lang, _) =>
-        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
-      }.mkString(" ")
+      def esc(s: String) = s.replace("'", "''")
+      val rows = graft.ops.LangProfiles.weightTable
+        .map { case (lang, g, w) => s"('$lang','${esc(g)}',$w)" }
+        .mkString(",")
       s"""WITH t AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         |s AS (
          |  SELECT doc_id,
-         |$scoreCols
-         |  FROM t),
-         |b AS (SELECT doc_id, *, $best AS best FROM s)
-         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-         |FROM b ORDER BY doc_id""".stripMargin
+         |    regexp_replace(translate(text,
+         |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+         |      '[ \\t\\n\\r]+', ' ', 'g') AS txt
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, substring(txt, i.i, l.l) AS gram
+         |  FROM t,
+         |    LATERAL (SELECT unnest(range(1, length(txt) + 1)) AS i) i,
+         |    LATERAL (SELECT unnest([1, 2, 3]) AS l) l
+         |  WHERE i.i + l.l <= length(txt) + 1),
+         |p(lang, gram, w) AS (VALUES $rows),
+         |nn AS (SELECT lang, sum(w::BIGINT * w)::BIGINT AS norm2 FROM p GROUP BY 1),
+         |s AS (
+         |  SELECT g.doc_id, p.lang, sum(p.w)::BIGINT AS dot
+         |  FROM g JOIN p USING (gram) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT s.doc_id, s.lang,
+         |    (s.dot::DOUBLE * s.dot::DOUBLE) / nn.norm2::DOUBLE AS score
+         |  FROM s JOIN nn USING (lang) WHERE s.dot > 0),
+         |b AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         |  FROM sc)
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+         |FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_dedup_api" ->

@@ -543,11 +543,15 @@ object RelationalQueries {
         |FROM graft_docs_tmp ORDER BY doc_id""".stripMargin)
   }
 
-  /** Language-ID by stopword-marker profile (graft.ops.TextStats.langId). */
-  def qLangId(spark: SparkSession, dir: String): DataFrame =
+  /** Language-ID by char-trigram profile over the frozen 25-language table
+    * (graft.ops.TextStats.langId, native one-pass LangIdExpr).
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
       .select($c("doc_id"), graft.ops.TextStats.langId($c("text")).as("lang_pred"))
       .orderBy("doc_id")
+  }
 
   /** Exact dedup via the library API (graft.ops.Dedup.exact). */
   def qDedupApi(spark: SparkSession, dir: String): DataFrame =

@@ -196,3 +196,72 @@ class NearDupScaleSpec extends AnyFunSuite {
     assert(pairs.count() >= 0)
   }
 }
+
+/** Real language id (VERDICT r2 item 6): char-trigram profiles over 24
+  * languages incl. CJK/Cyrillic/Greek/Arabic/Hebrew/Devanagari, frozen
+  * in-repo, scored in pure integer arithmetic by the native LangIdExpr.
+  * The accuracy gate runs on held-out sentences DISJOINT from the profile
+  * text.
+  */
+class LangIdSpec extends AnyFunSuite {
+
+  import graft.ops.LangProfiles
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("profile table is well-formed: 25 languages, 1..3-codepoint n-grams, positive weights") {
+    assert(LangProfiles.langs.length == 25)
+    assert(Set("ru", "uk", "bg", "el", "ar", "he", "hi", "zh", "ja", "ko")
+      .subsetOf(LangProfiles.langs.toSet), "non-Latin scripts must be covered")
+    LangProfiles.weightTable.foreach { case (lang, g, w) =>
+      val n = g.codePoints().count()
+      assert(n >= 1 && n <= 3, s"'$g' ($lang) has $n codepoints")
+      assert(w >= 1, s"weight for '$g' ($lang) must be positive")
+    }
+    LangProfiles.norm2.values.foreach(v => assert(v > 0))
+    // held-out text is disjoint from profile text (no train-on-test)
+    LangProfiles.heldOutText.foreach { case (lang, docs) =>
+      docs.foreach(d => assert(!LangProfiles.profileText(lang).contains(d.take(40))))
+    }
+  }
+
+  test("closed-form: score equals the occurrence-weight dot product; argmax + und semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def id(s: String): String =
+      graft.functions.LangIdExpr.compute(UTF8String.fromString(s)).toString
+    // zero evidence: empty, digits-only and symbol-only inputs share no
+    // n-gram with any profile (digits/© never occur in the profile text,
+    // and the lone-space unigram is excluded by construction)
+    assert(id("") == "und" && id("12345 67890") == "und" && id("©©© ®®® •••") == "und")
+    // hand-checked: " th" / "the" / "he " are top English n-grams
+    assert(id("the theory of the matter") == "en")
+    // surrogate pairs must not break the codepoint walk
+    assert(id("😀😀 the quick brown fox and the lazy dog 😀") == "en")
+  }
+
+  test("accuracy >= 95% on the held-out multilingual corpus (and every script family resolves)") {
+    import spark.implicits._
+    val corpus = LangProfiles.heldOutText.toSeq.flatMap { case (lang, ds) =>
+      ds.zipWithIndex.map { case (d, i) => (s"$lang-$i", lang, d) }
+    }.toDF("doc_id", "lang_true", "text")
+    val pred = graft.ops.TextStats.langIdOf(corpus, "text")
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"))
+      .collect()
+    val n = pred.length
+    val wrong = pred.filter(r => r.getString(1) != r.getString(2))
+    val acc = (n - wrong.length).toDouble / n
+    val detail = wrong.map(r => s"${r.getString(0)}: true=${r.getString(1)} pred=${r.getString(2)}").mkString("; ")
+    assert(n == 25 * 5)
+    assert(acc >= 0.95, f"accuracy $acc%.3f < 0.95 — $detail")
+    // every non-Latin script family must be recognized on at least 4/5 docs
+    Seq("ru", "ar", "he", "hi", "zh", "ja", "ko", "el").foreach { lang =>
+      val ok = pred.count(r => r.getString(1) == lang && r.getString(2) == lang)
+      assert(ok >= 4, s"$lang resolved only $ok/5")
+    }
+  }
+}
