@@ -108,6 +108,7 @@ object SparkEntry {
     "q_extract_cocoedge" -> (PipelineQueries.qExtractCocoedge _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
+    "q_extract_clahe" -> (PipelineQueries.qExtractClahe _),
     "q_extract_profiled" -> (PipelineQueries.qExtractProfiled _),
     "q_orientation" -> (PipelineQueries.qOrientation _),
     "q_extract_adversarial" -> (PipelineQueries.qExtractAdversarial _)

@@ -42,7 +42,15 @@ object Classifiers {
       morphIters: Int = 2,
       smoothing: String = "median", // "median" | "openclose"
       maskedStats: Boolean = true, // backgroundNormalization transplant
-      strongLevel: Double = 200.0 // confidence band: see classify()
+      strongLevel: Double = 200.0, // confidence band: see classify()
+      // CLAHE pre-stage (EnhanceLocalContrastByCLAHE, imageLibCommon.cpp:
+      // 327-395): opt-in tile-wise clipped equalization of the signal so a
+      // long document's late dim-but-consistent content is not drowned by
+      // bright content elsewhere. claheClip follows cv::createCLAHE's
+      // default (40.0); see claheEqualize for the transplant notes.
+      clahe: Boolean = false,
+      claheClip: Double = 40.0,
+      claheTile: Int = 32
   )
 
   val Default: Config = Config()
@@ -377,10 +385,93 @@ object Classifiers {
     * (binarizeByLocalVariances.cpp:53-57 `var > 10` absolute mask ANDed with
     * relative masks :136-139) applied to the post-pass.
     */
+  /** 1-D CLAHE over the block-signal axis (EnhanceLocalContrastByCLAHE_1,
+    * imageLibCommon.cpp:327-345: createCLAHE + setClipLimit + apply) — the
+    * tile grid becomes chunks of `tile` consecutive blocks, the clip limit
+    * keeps its cv semantics (cl = clip·m/nBins), and each block's mapped
+    * value linearly interpolates the LUTs of the two nearest tile centers
+    * (the bilinear step, collapsed to 1-D).
+    *
+    * Domain divergences, both deliberate:
+    *  - zero-signal blocks (pure link chrome) stay at zero and are excluded
+    *    from tile histograms — the maskedStats rule; an image has no
+    *    semantic zero, a block sequence does.
+    *  - nBins = 32, not 256, and tiles with < 4 nonzero blocks map
+    *    identically: tile populations here are tens of blocks, not
+    *    thousands of pixels — 256 mostly-empty bins would let the uniform
+    *    redistribution term dominate every LUT, and equalizing a 2-3-block
+    *    population amplifies crumbs into content.
+    * Clip excess is redistributed uniformly as a real-valued baseline
+    * (hist' = min(hist,cl) + E/nBins), so a heavy clip degrades toward the
+    * identity ramp rather than toward a flattening — the contract CLAHE's
+    * clip exists for (limit contrast amplification).
+    */
+  def claheEqualize(x: Array[Double], tile: Int = 32, clip: Double = 40.0): Array[Double] = {
+    val n = x.length
+    if (n == 0) return x
+    val T = math.max(4, tile)
+    val nBins = 32
+    val binW = 256.0 / nBins
+    val nTiles = (n + T - 1) / T
+    val luts = new Array[Array[Double]](nTiles) // null = identity tile
+    var t = 0
+    while (t < nTiles) {
+      val lo = t * T
+      val hi = math.min(n, lo + T)
+      val hist = new Array[Double](nBins)
+      var m = 0
+      var i = lo
+      while (i < hi) {
+        if (x(i) > 0) {
+          var b = (math.min(255.0, x(i)) / binW).toInt
+          if (b >= nBins) b = nBins - 1
+          hist(b) += 1
+          m += 1
+        }
+        i += 1
+      }
+      if (m >= 4) {
+        val cl = math.max(1.0, clip * m / nBins)
+        var excess = 0.0
+        var b = 0
+        while (b < nBins) {
+          if (hist(b) > cl) { excess += hist(b) - cl; hist(b) = cl }
+          b += 1
+        }
+        val add = excess / nBins
+        val lut = new Array[Double](nBins)
+        var cum = 0.0
+        b = 0
+        while (b < nBins) { cum += hist(b) + add; lut(b) = cum * 255.0 / m; b += 1 }
+        luts(t) = lut
+      }
+      t += 1
+    }
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x(i) <= 0) out(i) = 0.0
+      else {
+        var b = (math.min(255.0, x(i)) / binW).toInt
+        if (b >= nBins) b = nBins - 1
+        def at(tt: Int): Double =
+          if (luts(tt) == null) math.min(255.0, x(i)) else luts(tt)(b)
+        val pos = (i - T / 2).toDouble / T
+        val t0 = math.max(0, math.min(nTiles - 1, math.floor(pos).toInt))
+        val t1 = math.min(nTiles - 1, t0 + 1)
+        val w = math.max(0.0, math.min(1.0, pos - t0))
+        out(i) = math.round((1.0 - w) * at(t0) + w * at(t1)).toDouble
+      }
+      i += 1
+    }
+    out
+  }
+
   def classify(blocks: Array[Block], cfg: Config = Default): Array[Boolean] = {
     val n = blocks.length
     if (n == 0) return Array.empty
-    val x = signal(blocks)
+    val x0 = signal(blocks)
+    val x = if (cfg.clahe) claheEqualize(x0, cfg.claheTile, cfg.claheClip) else x0
     val paths =
       if (cfg.kind == "fbcitb") blocks.map(_.tagPath) else null
     val t = thresholds(x, cfg, paths)

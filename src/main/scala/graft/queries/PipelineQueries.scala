@@ -31,7 +31,8 @@ object PipelineQueries {
     "q_extract", "q_decode_charsets", "q_quarantine", "q_blocks",
     "q_boundary", "q_resume_antijoin", "q_orientation",
     "q_extract_adversarial", "q_extract_houghsep", "q_extract_profiled",
-    "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge") ++
+    "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge",
+    "q_extract_clahe") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(
@@ -103,6 +104,15 @@ object PipelineQueries {
     */
   def qExtractHoughSep(spark: SparkSession, dir: String): DataFrame =
     hashShape(docs(spark, Extract.Config(boundaryKind = "separators")))
+      .drop("status").orderBy("url")
+
+  /** CLAHE-staged pipeline (EnhanceLocalContrastByCLAHE transplant,
+    * imageLibCommon.cpp:327-395): tile-wise clipped signal equalization
+    * before classification — opt-in, VERDICT r2 item 7.
+    */
+  def qExtractClahe(spark: SparkSession, dir: String): DataFrame =
+    hashShape(docs(spark, Extract.Config(
+      classifier = Classifiers.Default.copy(clahe = true))))
       .drop("status").orderBy("url")
 
   /** findOrientation-gated pipeline: the 4-way doc-type decision selects the

@@ -197,6 +197,73 @@ class NearDupScaleSpec extends AnyFunSuite {
   }
 }
 
+/** CLAHE pipeline stage (VERDICT r2 item 7; EnhanceLocalContrastByCLAHE,
+  * imageLibCommon.cpp:327-395): opt-in tile-wise clipped equalization of
+  * the block signal before classification.
+  */
+class ClaheSpec extends AnyFunSuite {
+
+  private def block(tagPath: String, text: String, nLink: Int, idx: Int): Block =
+    Block(tagPath, text, 0, text.length, text.length,
+      math.max(1, text.length / 6), nLink, nLink / 6, 3, idx)
+
+  /** Long document: 3 bright tiles of saturated article, then a 64-block
+    * late dim section (tiles 3-4: link-free paragraphs of signal 80..87 —
+    * one CLAHE bin, real content that is just short), then a bright tile.
+    * Block texts are all distinct so no artifact pass could collapse them.
+    */
+  private def longDoc(): (Array[Block], Range, Range) = {
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Block]
+    def add(tp: String, text: String, l: Int): Unit = bs += block(tp, text, l, bs.length)
+    (0 until 96).foreach(i => add("html/body/article/p", s"bright paragraph $i " + ("lorem ipsum dolor sit amet " * 14), 0))
+    val dimLo = bs.length
+    (0 until 64).foreach { i =>
+      val len = 80 + (i % 8)
+      add("html/body/section/p", (s"dim note $i " + ("brief line of late content " * 4)).take(len), 0)
+    }
+    val dimHi = bs.length - 1
+    (0 until 32).foreach(i => add("html/body/article/p", s"bright tail $i " + ("sed do eiusmod tempor incididunt " * 12), 0))
+    // core = dim blocks between the centers of the two all-dim tiles —
+    // their CLAHE mapping interpolates two dim-tile LUTs only (the run's
+    // outer edges interpolate against a bright tile and legitimately sink:
+    // that is real CLAHE's bilinear behavior too)
+    (bs.toArray, dimLo to dimHi, (dimLo + 16) to (dimHi - 16))
+  }
+
+  test("late dim content: plain sauvola fragments the run, CLAHE keeps its core intact") {
+    val (blocks, dim, core) = longDoc()
+    val base = Classifiers.Config() // sauvola defaults
+    val keepPlain = Classifiers.classify(blocks, base)
+    val keepClahe = Classifiers.classify(blocks, base.copy(clahe = true))
+    val droppedPlainCore = core.count(i => !keepPlain(i))
+    val droppedClaheCore = core.count(i => !keepClahe(i))
+    assert(droppedPlainCore >= 8,
+      s"fixture must demonstrate the failure: plain sauvola dropped only $droppedPlainCore/${core.size} core dim blocks")
+    assert(droppedClaheCore == 0,
+      s"CLAHE must keep the dim core, dropped $droppedClaheCore/${core.size}")
+    // bright content is kept in both
+    assert(keepPlain.indices.filterNot(dim.contains).forall(keepPlain(_)))
+    assert(keepClahe.indices.filterNot(dim.contains).forall(keepClahe(_)))
+  }
+
+  test("claheEqualize invariants: zeros pinned, saturated stays bright, heavy clip degrades toward identity") {
+    val x = Array.tabulate(96)(i => if (i % 5 == 0) 0.0 else if (i < 48) 255.0 else 90.0)
+    val eq = Classifiers.claheEqualize(x, tile = 32, clip = 40.0)
+    x.indices.foreach { i =>
+      if (x(i) == 0.0) assert(eq(i) == 0.0, s"zero-signal block $i must stay background")
+      else assert(eq(i) >= 0.0 && eq(i) <= 255.0)
+    }
+    // dim-dominant tile maps its plateau to (near-)saturation
+    assert(eq(81) >= 240.0, s"in-tile dim plateau should equalize bright, got ${eq(81)}")
+    // a heavy clip collapses the LUT toward the identity ramp, not a flatten
+    val id = Classifiers.claheEqualize(x, tile = 32, clip = 0.0)
+    x.indices.filter(i => x(i) > 0).foreach { i =>
+      assert(math.abs(id(i) - x(i)) <= 16.0,
+        s"clip=0 should be near-identity at $i: ${x(i)} -> ${id(i)}")
+    }
+  }
+}
+
 /** Real language id (VERDICT r2 item 6): char-trigram profiles over 24
   * languages incl. CJK/Cyrillic/Greek/Arabic/Hebrew/Devanagari, frozen
   * in-repo, scored in pure integer arithmetic by the native LangIdExpr.
