@@ -85,6 +85,7 @@ object SparkEntry {
     "q_embed_neardup" -> (R.qEmbedNearDup _),
     "q_ivf_topk" -> (R.qIvfTopK _),
     "q_simhash" -> (R.qSimHash _),
+    "q_angle" -> (R.qAngle _),
     "q_fingerprint" -> (R.qFingerprint _),
     // cross-doc site-template removal (cleanBackgroundToWhite analogue)
     "q_template_chrome" -> (R.qTemplateChrome _),
@@ -109,6 +110,7 @@ object SparkEntry {
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_clahe" -> (PipelineQueries.qExtractClahe _),
+    "q_extract_overwrap" -> (PipelineQueries.qExtractOverwrap _),
     "q_extract_profiled" -> (PipelineQueries.qExtractProfiled _),
     "q_orientation" -> (PipelineQueries.qOrientation _),
     "q_extract_adversarial" -> (PipelineQueries.qExtractAdversarial _)

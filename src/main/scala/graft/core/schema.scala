@@ -48,7 +48,8 @@ final case class DocStats(
     charset: String,
     truncated: Boolean,
     qualityScore: Double, // §2.7 composite detector score
-    garbageRatio: Double // fraction of replacement/control chars post-decode
+    garbageRatio: Double, // fraction of replacement/control chars post-decode
+    angle: Int = 0 // structural skew: findAngle wrapper-nesting mode (Deskew)
 )
 
 /** Pipeline output row (SURVEY.md §1.2 output schema). `status` is OK or a

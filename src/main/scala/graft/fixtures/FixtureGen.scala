@@ -627,6 +627,63 @@ object FixtureGen {
     (sb.toString, art ++ dim)
   }
 
+  /** "overwrap" corpus (findAngle/deskew ground truth, deskew.cpp:139-206):
+    * the fbsect page shape — aside of mid-band paragraphs between saturated
+    * article runs, expected = article only — but every SECTION is wrapped
+    * in a variable-depth run of redundant `<div>`s (the template-generator
+    * skew findAngle measures). article1 and the aside share a wrap depth
+    * >= 2, so WITHOUT deskew the tagPath region tree merges them into one
+    * depth-3 'div' run: fbcitb's region polarity then drops article1 with
+    * the aside (or keeps the aside with article1) — extraction fails. WITH
+    * deskew the wrapper runs collapse, the regions recover the real section
+    * boundaries and the page behaves exactly like fbsect.
+    */
+  private def genOverwrap(rng: Random): (String, List[String]) = {
+    val k1 = 4 + rng.nextInt(3)
+    val k2 = 4 + rng.nextInt(3)
+    val m = 2 + rng.nextInt(2)
+    val a1 = List.fill(k1)(paragraph(rng, 300 + rng.nextInt(120)))
+    val mid = List.fill(m)(clampPara(rng, 125, 190))
+    val a2 = List.fill(k2)(paragraph(rng, 300 + rng.nextInt(120)))
+    // wrap depths: article1 and aside SHARE a depth >= 2 (the merge trap);
+    // the others vary so the skew is systematic but not uniform
+    val shared = 2 + rng.nextInt(2) // 2..3
+    val wHead = 1 + rng.nextInt(3)
+    val wA2 = 1 + rng.nextInt(2)
+    val wFoot = 1 + rng.nextInt(3)
+    def open(k: Int) = "<div>" * k
+    def close(k: Int) = "</div>" * k
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append(open(wHead)).append("<header><nav>")
+      .append(navList(rng, 4 + rng.nextInt(3))).append("</nav></header>").append(close(wHead))
+    sb.append(open(shared)).append("<article>")
+    a1.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>").append(close(shared))
+    sb.append(open(shared)).append("<aside class=\"pullquotes\">")
+    mid.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</aside>").append(close(shared))
+    sb.append(open(wA2)).append("<article>")
+    a2.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>").append(close(wA2))
+    sb.append(open(wFoot)).append("<footer>")
+      .append(navList(rng, 4 + rng.nextInt(3))).append("</footer>").append(close(wFoot))
+    sb.append("</body></html>")
+    (sb.toString, a1 ++ a2)
+  }
+
+  def overwrapFixture(id: Long, seed: Long = 42L): Fixture = {
+    val url = s"https://reg-overwrap.example/r/$id"
+    val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(id))
+    val (html, paras) = genOverwrap(rng)
+    val ts = new Timestamp(1700000000000L + (id % 86400000L))
+    Fixture(PageRow(url, ts, html.getBytes(StandardCharsets.UTF_8),
+      paras.headOption.getOrElse(""), "en"), paras.mkString("\n"), "overwrap")
+  }
+
+  def overwrap(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(overwrapFixture(_, seed))
+
   def fbsectFixture(id: Long, seed: Long = 42L): Fixture = {
     val url = s"https://reg-fbsect.example/r/$id"
     val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(id))

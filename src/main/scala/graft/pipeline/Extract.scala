@@ -35,6 +35,12 @@ object Extract {
       // page-profile decision selects the classifier profile. Off by
       // default — in the reference deskew is a separate opt-in stage.
       autoProfile: Boolean = false,
+      // findAngle + rotate(−angle) (deskew.cpp:139-206 via Deskew): when on
+      // and the document's wrapper-nesting mode is nonzero, collapse the
+      // systematic duplicate-segment runs in every tagPath before
+      // classification. Off by default — deskew is opt-in in the reference
+      // too. The angle is ALWAYS measured and reported in stats.angle.
+      deskew: Boolean = false,
       blockSeparator: String = "\n"
   )
 
@@ -55,25 +61,32 @@ object Extract {
     if (tok.blocks.isEmpty)
       return quarantine(row.url, Status.NoBlocks, htmlBytes.length, dec.text.length,
         dec.charset, garbage)
+    // 2b. findAngle (always measured) + optional rotate(−angle): strip
+    // systematic wrapper nesting so the tagPath region tree sees section
+    // boundaries, not template noise (deskew.cpp:139-206 via Deskew)
+    val angle = graft.detect.Deskew.findAngle(tok.blocks)
+    val blocks =
+      if (cfg.deskew) graft.detect.Deskew.deskew(tok.blocks, angle)
+      else tok.blocks
     // 3. classify + 4. artifacts + 5. boundary
     val clsCfg =
       if (cfg.autoProfile)
         graft.detect.Orientation.profileFor(
-          graft.detect.Orientation.detect(tok.blocks).docType, cfg.classifier)
+          graft.detect.Orientation.detect(blocks).docType, cfg.classifier)
       else cfg.classifier
-    var labels = Classifiers.classify(tok.blocks, clsCfg)
-    labels = Artifacts.all(tok.blocks, labels)
+    var labels = Classifiers.classify(blocks, clsCfg)
+    labels = Artifacts.all(blocks, labels)
     if (cfg.boundaryCrop) {
       val region = cfg.boundaryKind match {
         case "separators" =>
-          Boundary.findSeparatorFrame(tok.blocks, labels)
-            .orElse(Boundary.find(tok.blocks, labels))
-        case _ => Boundary.find(tok.blocks, labels)
+          Boundary.findSeparatorFrame(blocks, labels)
+            .orElse(Boundary.find(blocks, labels))
+        case _ => Boundary.find(blocks, labels)
       }
       labels = Boundary(labels, region)
     }
     // 6. assemble + fixpoint canonicalization
-    val (text, spans) = assemble(tok.blocks, labels, cfg.blockSeparator)
+    val (text, spans) = assemble(blocks, labels, cfg.blockSeparator)
     val kept = labels.count(identity)
     ExtractedDoc(
       url = row.url,
@@ -81,6 +94,7 @@ object Extract {
       spans = spans,
       status = Status.Ok,
       stats = DocStats(
+        angle = angle,
         nBlocks = tok.blocks.length,
         nKept = kept,
         htmlBytes = htmlBytes.length,

@@ -474,6 +474,23 @@ object Oracles {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // findAngle mode computation (deskew.cpp:139-206): min-line-length gate,
+    // delta-bucket clustering, first-encountered-mode tie-break
+    "q_angle" ->
+      """WITH mx AS (SELECT source, max(n_chars) AS mx FROM documents GROUP BY 1),
+        |l AS (
+        |  SELECT d.source, d.doc_id, cast(floor(d.n_chars / 64.0) AS INT) AS bucket
+        |  FROM documents d JOIN mx USING (source) WHERE d.n_chars * 8 >= mx.mx),
+        |c AS (
+        |  SELECT source, bucket, count(*) AS c, min(doc_id) AS first_id
+        |  FROM l GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, bucket, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, first_id ASC, bucket ASC) AS rn
+        |  FROM c)
+        |SELECT source, bucket AS angle_bucket, c AS n_lines
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+
     "q_dedup_api" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS canonical

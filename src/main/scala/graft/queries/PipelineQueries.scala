@@ -32,7 +32,7 @@ object PipelineQueries {
     "q_boundary", "q_resume_antijoin", "q_orientation",
     "q_extract_adversarial", "q_extract_houghsep", "q_extract_profiled",
     "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge",
-    "q_extract_clahe") ++
+    "q_extract_clahe", "q_extract_overwrap") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(
@@ -161,6 +161,24 @@ object PipelineQueries {
     val pages = PageSource.cocoedgePages(spark, RegN)
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = "cococlust"))
     hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+  }
+
+  /** findAngle + rotate(−angle) over the over-wrapped corpus (deskew.cpp:
+    * 139-206 via Deskew; VERDICT r2 item 10) — exposes the measured
+    * structural skew per url alongside the extraction digest. Without the
+    * deskew stage this corpus extracts wrong on >85% of pages
+    * (DeskewSpec pins the discrimination).
+    */
+  def qExtractOverwrap(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.overwrapPages(spark, RegN)
+    val cfg = Extract.Config(
+      classifier = Classifiers.Config(kind = "fbcitb"), deskew = true)
+    ExtractJob.extract(pages, cfg).toDF()
+      .select(col("url"),
+        md5(col("extracted_text").cast("binary")).as("text_md5"),
+        col("stats.angle").as("angle"),
+        col("stats.nBlocks").as("n_blocks"), col("stats.nKept").as("n_kept"))
+      .orderBy("url")
   }
 
   /** Boundary regions found per doc (autoCrop analogue §2.4). */

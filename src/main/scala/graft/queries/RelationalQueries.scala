@@ -543,6 +543,28 @@ object RelationalQueries {
         |FROM graft_docs_tmp ORDER BY doc_id""".stripMargin)
   }
 
+  /** findAngle's mode computation demonstrated relationally (deskew.cpp:
+    * 139-206 via graft.detect.Deskew): per source, "lines" are rows long
+    * enough to be structure evidence (n_chars·8 >= source max — the
+    * HoughLinesP minLineLength = width/8 gate), the delta clustering
+    * becomes 64-wide buckets, and the mode wins with the reference's
+    * first-encountered tie-break (earliest doc_id, then bucket).
+    */
+  def qAngle(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("mx", max($c("n_chars")).over(srcW))
+      .filter($c("n_chars") * 8 >= $c("mx"))
+      .withColumn("bucket", floor($c("n_chars") / lit(64.0)).cast("int"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("c"), asc("first_id"), asc("bucket"))
+    d.groupBy($c("source"), $c("bucket"))
+      .agg(count(lit(1)).as("c"), min($c("doc_id")).as("first_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter($c("rn") === 1)
+      .select($c("source"), $c("bucket").as("angle_bucket"), $c("c").as("n_lines"))
+      .orderBy("source")
+  }
+
   /** Language-ID by char-trigram profile over the frozen 25-language table
     * (graft.ops.TextStats.langId, native one-pass LangIdExpr).
     */

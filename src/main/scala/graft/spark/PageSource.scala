@@ -33,6 +33,11 @@ object PageSource {
       partitions: Int = 0): Dataset[PageRow] =
     generate(spark, n, partitions)(id => FixtureGen.cocoedgeFixture(id, seed).page)
 
+  /** findAngle/deskew ground-truth corpus (over-wrapped pages). */
+  def overwrapPages(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[PageRow] =
+    generate(spark, n, partitions)(id => FixtureGen.overwrapFixture(id, seed).page)
+
   private def generate(spark: SparkSession, n: Long, partitions: Int)(
       gen: Long => PageRow): Dataset[PageRow] = {
     import spark.implicits._

@@ -35,19 +35,26 @@ object FixtureCheck {
     // optional: check a non-default classifier kind against ground truth
     // (e.g. `check 500 - fbcitb`); "-" keeps the default output dir slot
     val kind = if (args.length > 3) args(3) else "sauvola"
-    // kind may carry a naive-mode suffix "kind:naive" (banded smoothing off)
-    val (kindName, naive) =
-      if (kind.endsWith(":naive")) (kind.stripSuffix(":naive"), true) else (kind, false)
-    require(mode != "write" || (kindName == "sauvola" && !naive),
+    // kind may carry suffixes: ":naive" (banded smoothing off), ":deskew"
+    // (findAngle + rotate(−angle) wrapper-collapse stage on)
+    var kindName = kind
+    val naive = kindName.contains(":naive")
+    val deskew = kindName.contains(":deskew")
+    kindName = kindName.split(':').head
+    require(mode != "write" || (kindName == "sauvola" && !naive && !deskew),
       "write mode freezes the DEFAULT-pipeline goldens; refusing a non-default kind")
-    val cfg = Extract.Config(classifier = graft.classify.Classifiers.Config(
-      kind = kindName, morphIters = if (naive) 0 else 2))
-    // mode "adv" checks the adversarial corpora; "fbsect"/"cocoedge" the
-    // region-classifier ground-truth corpora (pass the matching kind)
+    val cfg = Extract.Config(
+      classifier = graft.classify.Classifiers.Config(
+        kind = kindName, morphIters = if (naive) 0 else 2),
+      deskew = deskew)
+    // mode "adv" checks the adversarial corpora; "fbsect"/"cocoedge"/
+    // "overwrap" the region-classifier / deskew ground-truth corpora (pass
+    // the matching kind)
     val fixtures = mode match {
       case "adv" => FixtureGen.adversarial(n)
       case "fbsect" => FixtureGen.fbsect(n)
       case "cocoedge" => FixtureGen.cocoedge(n)
+      case "overwrap" => FixtureGen.overwrap(n)
       case _ => FixtureGen.fixtures(n)
     }
     var pass = 0

@@ -52,8 +52,17 @@ object GoldenParquet {
       if (graft.pipeline.Extract(f.page, coCfg).extracted_text != f.expected) bad += 1
     }
     require(bad == 0, s"REFUSING: cocoedge cococlust != ground truth on $bad/140")
+    // findAngle/deskew corpus (VERDICT r2 item 10): over-wrapped pages under
+    // fbcitb + deskew anchored to generator ground truth
+    val owCfg = graft.pipeline.Extract.Config(
+      classifier = graft.classify.Classifiers.Config(kind = "fbcitb"),
+      deskew = true)
+    graft.fixtures.FixtureGen.overwrap(140).foreach { f =>
+      if (graft.pipeline.Extract(f.page, owCfg).extracted_text != f.expected) bad += 1
+    }
+    require(bad == 0, s"REFUSING: overwrap fbcitb+deskew != ground truth on $bad/140")
     println("double-entry gates green (400 standard + 200 adversarial + " +
-      "140 fbsect + 140 cocoedge)")
+      "140 fbsect + 140 cocoedge + 140 overwrap)")
     if (mode != "write") return
 
     val spark = SparkSession.builder()

@@ -197,6 +197,71 @@ class NearDupScaleSpec extends AnyFunSuite {
   }
 }
 
+/** findAngle as a real operator (VERDICT r2 item 10; deskew.cpp:139-206 via
+  * graft.detect.Deskew): wrapper-nesting skew measured as the first-
+  * encountered mode of per-block excess, with rotate(−angle) = collapse of
+  * duplicate-segment runs.
+  */
+class DeskewSpec extends AnyFunSuite {
+
+  import graft.detect.Deskew
+
+  private def block(tagPath: String, nChars: Int, idx: Int): Block =
+    Block(tagPath, "x" * nChars, 0, nChars, nChars, math.max(1, nChars / 6),
+      0, 0, 3, idx)
+
+  test("collapse removes runs of consecutive identical segments only") {
+    assert(Deskew.collapse("html/body/div/div/div/article/p") == "html/body/div/article/p")
+    assert(Deskew.collapse("html/body/article/p") == "html/body/article/p")
+    assert(Deskew.collapse("div/div") == "div")
+    assert(Deskew.collapse("div/span/div") == "div/span/div") // non-consecutive stays
+    assert(Deskew.collapse("") == "")
+  }
+
+  test("angleOf counts the wrapper excess; findAngle takes the first-encountered mode over long blocks") {
+    assert(Deskew.angleOf("html/body/div/div/div/p") == 2)
+    assert(Deskew.angleOf("html/body/article/p") == 0)
+    // mode with the reference's max_element semantics: strict > keeps the
+    // FIRST cluster on ties
+    val blocks = Array(
+      block("html/body/div/div/article/p", 400, 0), // angle 1
+      block("html/body/div/div/article/p", 400, 1), // angle 1
+      block("html/body/div/div/div/aside/p", 400, 2), // angle 2
+      block("html/body/div/div/div/aside/p", 400, 3), // angle 2 — tie: first wins
+      block("html/body/nav/a", 10, 4)) // short: below the width/8 gate
+    assert(Deskew.findAngle(blocks) == 1)
+    // the short block is excluded by the minLineLength gate: make it the
+    // only angle-3 evidence and it must not flip the mode
+    val withShort = blocks :+ block("html/body/div/div/div/div/nav/a", 10, 5)
+    assert(Deskew.findAngle(withShort) == 1)
+    assert(Deskew.findAngle(Array.empty[Block]) == 0)
+  }
+
+  test("deskew(angle=0) is the exact no-op fast path; nonzero angle collapses every path") {
+    val blocks = Array(block("html/body/div/div/p", 400, 0))
+    assert(Deskew.deskew(blocks, 0) eq blocks)
+    assert(Deskew.deskew(blocks, 1)(0).tagPath == "html/body/div/p")
+  }
+
+  test("overwrap corpus discriminates: fbcitb+deskew matches ground truth, without deskew it fails >85%") {
+    import graft.fixtures.FixtureGen
+    import graft.pipeline.Extract
+    val cfgOn = Extract.Config(
+      classifier = Classifiers.Config(kind = "fbcitb"), deskew = true)
+    val cfgOff = Extract.Config(classifier = Classifiers.Config(kind = "fbcitb"))
+    val fixtures = FixtureGen.overwrap(140)
+    val okOn = fixtures.count(f => Extract(f.page, cfgOn).extracted_text == f.expected)
+    val okOff = fixtures.count(f => Extract(f.page, cfgOff).extracted_text == f.expected)
+    assert(okOn == 140, s"deskewed fbcitb must match ground truth, got $okOn/140")
+    assert(okOff <= 21, s"without deskew the corpus must fail >85%, passed $okOff/140")
+    // and the measured skew is nonzero on every over-wrapped page
+    fixtures.take(20).foreach { f =>
+      val doc = Extract(f.page, cfgOn)
+      assert(doc.stats.angle >= 1, s"${f.page.url}: angle=${doc.stats.angle}")
+    }
+  }
+}
+
 /** CLAHE pipeline stage (VERDICT r2 item 7; EnhanceLocalContrastByCLAHE,
   * imageLibCommon.cpp:327-395): opt-in tile-wise clipped equalization of
   * the block signal before classification.
