@@ -21,7 +21,9 @@ object Quality {
     var i = 0
     while (i < decoded.length) {
       val c = decoded.charAt(i)
-      if (c == '�' || graft.text.Canon.isControl(c)) bad += 1
+      // fast path: printable ASCII is never garbage
+      if (!(c >= ' ' && c < 0x7f) &&
+        (c == '�' || graft.text.Canon.isControl(c))) bad += 1
       i += 1
     }
     bad.toDouble / decoded.length

@@ -172,12 +172,12 @@ object Decode {
     true
   }
 
-  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String = {
-    val dec = cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    dec.decode(ByteBuffer.wrap(bytes, offset, bytes.length - offset)).toString
-  }
+  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String =
+    // the String constructor REPLACEs malformed input and unmappable chars
+    // exactly like the previous explicit CharsetDecoder (JLS-specified), but
+    // goes through the JDK's intrinsified decode loops — measurably faster
+    // than CharsetDecoder + CharBuffer.toString, with one copy fewer
+    new String(bytes, offset, bytes.length - offset, cs)
 
   /** Decode page bytes; returns decoded text + the charset label chosen. */
   def apply(bytes: Array[Byte]): Decoded = {

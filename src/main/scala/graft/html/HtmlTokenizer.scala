@@ -71,14 +71,70 @@ object HtmlTokenizer {
     "head", "noscript", "template", "svg", "iframe", "object", "embed",
     "applet", "audio", "video", "canvas", "select", "datalist")
 
-  def apply(html: String, caps: Caps = DefaultCaps): Result = {
-    val n = math.min(html.length, caps.maxChars)
-    val truncatedInput = html.length > caps.maxChars
-    val blocks = new ArrayBuffer[Block](64)
-    var truncated = truncatedInput
+  /** Hot-path tag metadata: one lookup instead of five string-Set probes,
+    * with the name already interned (no per-tag String allocation for any
+    * known tag). Unknown/custom tags fall back to the string path.
+    */
+  private final class TagInfo(val name: String, val block: Boolean,
+      val void: Boolean, val rawText: Boolean, val suppress: Boolean,
+      val foreign: Boolean, val anchor: Boolean)
 
-    // element stack
+  /** 6-bit-per-char code of a lowercase tag name (a-z, 0-9, '-'; ≤ 10 chars
+    * — every HTML tag name fits). -1 when uncodable.
+    */
+  private def tagCode(s: String): Long = {
+    if (s.length > 10) return -1L
+    var code = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val v =
+        if (c >= 'a' && c <= 'z') c - 'a' + 1
+        else if (c >= '0' && c <= '9') c - '0' + 27
+        else if (c == '-') 37
+        else return -1L
+      code = (code << 6) | v
+      i += 1
+    }
+    code
+  }
+
+  private val tagTable: scala.collection.mutable.LongMap[TagInfo] = {
+    val m = new scala.collection.mutable.LongMap[TagInfo](256)
+    val known = blockTags ++ voidTags ++ rawTextTags ++ suppressTags ++
+      foreignRoots ++ Set("a", "span", "em", "strong", "b", "i", "u", "small",
+        "sub", "sup", "code", "label", "time", "abbr", "cite", "q", "s",
+        "mark", "tt", "font", "big", "ins", "del", "kbd", "samp", "var",
+        "bdi", "bdo", "ruby", "rt", "rp", "data", "output", "picture",
+        "button", "option", "optgroup", "a")
+    known.foreach { t =>
+      val code = tagCode(t)
+      require(code >= 0, s"uncodable known tag $t")
+      m(code) = new TagInfo(t, blockTags(t), voidTags(t), rawTextTags(t),
+        suppressTags(t), foreignRoots(t), t == "a")
+    }
+    m
+  }
+
+  def apply(html: String, caps: Caps = DefaultCaps): Result =
+    new Run(html, caps).run()
+
+  /** One tokenization run with every piece of mutable state as a CLASS
+    * FIELD: the previous closure form (nested defs capturing local vars)
+    * compiled each captured var to a heap IntRef/ObjectRef cell, putting an
+    * extra indirection on every access in the per-char hot loop. Behavior
+    * is identical.
+    */
+  private final class Run(html: String, caps: Caps) {
+    private val n = math.min(html.length, caps.maxChars)
+    private val truncatedInput = html.length > caps.maxChars
+    private val blocks = new ArrayBuffer[Block](64)
+    private var truncated = truncatedInput
+
+    // element stack + per-element flags (bit0 anchor, bit1 suppress) so
+    // popThrough never re-probes the tag sets
     val stack = new ArrayBuffer[String](32)
+    val stackFlags = new ArrayBuffer[Int](32)
     var anchorDepth = 0
     var suppressDepth = 0
     // tagPath cache: stack.mkString is per-BLOCK cost; most blocks share the
@@ -95,8 +151,15 @@ object HtmlTokenizer {
 
     // current block accumulator
     val raw = new java.lang.StringBuilder(256)
-    // link segments: (startInRaw, endInRaw) ranges contributed inside <a>
-    val linkRuns = new ArrayBuffer[(Int, Int)](8)
+    // single-run fast path: the FIRST 1:1 text run of a link-free block is
+    // held as a source range instead of being copied into `raw`; it
+    // materializes only when a second run / entity / link context arrives.
+    // Most blocks are exactly one run ("<p>text</p>"), so flush can
+    // canonicalize straight from the source slice — one copy instead of two
+    var pendingFrom = -1
+    var pendingTo = -1
+    // link segments contributed inside <a>, packed (startInRaw<<32 | endInRaw)
+    val linkRuns = new ArrayBuffer[Long](8)
     var linkRunStart = -1 // open link run start in raw coords, -1 if none
     var firstOff = -1 // source offset of first visible char
     var lastOff = -1 // one past source offset of last visible char
@@ -106,57 +169,130 @@ object HtmlTokenizer {
 
     @inline def inLink: Boolean = anchorDepth > 0
 
-    def beginLinkRunIfNeeded(): Unit =
-      if (inLink && linkRunStart < 0) linkRunStart = raw.length
-    def endLinkRunIfOpen(): Unit =
-      if (linkRunStart >= 0) { linkRuns += ((linkRunStart, raw.length)); linkRunStart = -1 }
+    def materializePending(): Unit =
+      if (pendingFrom >= 0) {
+        raw.append(html, pendingFrom, pendingTo)
+        pendingFrom = -1
+        pendingTo = -1
+      }
 
-    /** Append text to the current block. `oneToOne` = chars of `s` map 1:1
-      * onto source chars starting at srcStart (plain text runs); false for
-      * entity replacements (whole [srcStart, srcEnd) reference). Offsets
-      * recorded are those of the first/last VISIBLE char.
+    def beginLinkRunIfNeeded(): Unit =
+      if (inLink && linkRunStart < 0) {
+        materializePending()
+        linkRunStart = raw.length
+      }
+    def endLinkRunIfOpen(): Unit =
+      if (linkRunStart >= 0) {
+        linkRuns += ((linkRunStart.toLong << 32) | raw.length.toLong)
+        linkRunStart = -1
+      }
+
+    @inline def isVisible(c: Char): Boolean =
+      (c > ' ' && c < 0x7f) || // printable ASCII: the dominant branch
+        !(Canon.isWs(c) || Canon.isStripped(c) || Canon.isControl(c))
+
+    /** Record block path/offsets once visible chars [first, last] (absolute
+      * source offsets) were appended.
       */
-    def appendText(s: String, srcStart: Int, srcEnd: Int, oneToOne: Boolean): Unit = {
-      if (suppressDepth > 0) return
-      beginLinkRunIfNeeded()
-      raw.append(s)
-      var i = 0
+    def sawVisible(first: Int, lastPlus1: Int): Unit = {
+      // tagPath/depth captured at the first VISIBLE char (not at leading
+      // whitespace appended before an intervening tag changed the stack):
+      // identical markup must yield identical paths regardless of
+      // inter-tag whitespace
+      if (!pathSet) {
+        blockPath = currentPath()
+        blockDepth = stack.length
+        pathSet = true
+      }
+      if (firstOff < 0) firstOff = first
+      lastOff = lastPlus1
+    }
+
+    /** Append a 1:1 source run html[from, to) to the current block —
+      * substring-free (the text-run hot path).
+      */
+    def appendRun(from: Int, to: Int): Unit = {
+      if (suppressDepth > 0 || to <= from) return
+      var i = from
       var first = -1
       var last = -1
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (!(Canon.isWs(c) || Canon.isStripped(c) || Canon.isControl(c))) {
+      while (i < to) {
+        if (isVisible(html.charAt(i))) {
           if (first < 0) first = i
           last = i
         }
         i += 1
       }
-      if (first >= 0) {
-        // tagPath/depth captured at the first VISIBLE char (not at leading
-        // whitespace appended before an intervening tag changed the stack):
-        // identical markup must yield identical paths regardless of
-        // inter-tag whitespace
-        if (!pathSet) {
-          blockPath = currentPath()
-          blockDepth = stack.length
-          pathSet = true
-        }
-        if (firstOff < 0)
-          firstOff = if (oneToOne) srcStart + first else srcStart
-        lastOff = if (oneToOne) srcStart + last + 1 else srcEnd
+      appendRunScanned(from, to, first, last)
+    }
+
+    /** appendRun for a run whose visibility extent was already computed in
+      * the main-loop scan (fused — the run is traversed exactly once).
+      */
+    def appendRunScanned(from: Int, to: Int, firstV: Int, lastV: Int): Unit = {
+      if (suppressDepth > 0 || to <= from) return
+      if (!inLink && raw.length == 0 && pendingFrom < 0 && linkRunStart < 0) {
+        // first run of a link-free block: keep as a source range
+        pendingFrom = from
+        pendingTo = to
+      } else {
+        materializePending()
+        beginLinkRunIfNeeded()
+        raw.append(html, from, to)
       }
+      if (firstV >= 0) sawVisible(firstV, lastV + 1)
+    }
+
+    /** Append replacement text `s` standing for source [srcStart, srcEnd)
+      * (entity references — not 1:1).
+      */
+    def appendDecoded(s: String, srcStart: Int, srcEnd: Int): Unit = {
+      if (suppressDepth > 0) return
+      materializePending()
+      beginLinkRunIfNeeded()
+      raw.append(s)
+      var i = 0
+      var any = false
+      while (i < s.length && !any) {
+        if (isVisible(s.charAt(i))) any = true
+        i += 1
+      }
+      if (any) sawVisible(srcStart, srcEnd)
     }
 
     def flush(): Unit = {
       endLinkRunIfOpen()
-      if (raw.length > 0) {
+      if (pendingFrom >= 0) {
+        // single-run link-free block, never copied into `raw`: canonicalize
+        // straight from the source slice (Canon's fast path usually returns
+        // the substring itself). Link counts are 0 by construction.
+        val canon = Canon(html.substring(pendingFrom, pendingTo))
+        if (canon.nonEmpty && blocks.length < caps.maxBlocks) {
+          val nTok = Canon.tokenCount(canon)
+          blocks += Block(
+            tagPath = blockPath,
+            text = canon,
+            startOff = if (firstOff >= 0) firstOff else 0,
+            endOff = if (lastOff >= 0) lastOff else 0,
+            nChars = canon.length,
+            nTokens = nTok,
+            nLinkChars = 0,
+            nLinkTokens = 0,
+            depth = blockDepth,
+            idx = blocks.length)
+        } else if (canon.nonEmpty) truncated = true
+        pendingFrom = -1
+        pendingTo = -1
+      } else if (raw.length > 0) {
         val canon = Canon(raw.toString)
         if (canon.nonEmpty && blocks.length < caps.maxBlocks) {
           var linkChars = 0
           var linkTokens = 0
           var r = 0
           while (r < linkRuns.length) {
-            val (s, e) = linkRuns(r)
+            val packed0 = linkRuns(r)
+            val s = (packed0 >>> 32).toInt
+            val e = (packed0 & 0xffffffffL).toInt
             if (e > s) {
               // ASCII fast path: count the canonical chars/tokens of the run
               // without materializing Canon(substring) (same rules; Canon
@@ -197,12 +333,13 @@ object HtmlTokenizer {
       pathSet = false
     }
 
-    def pushElem(name: String): Unit = {
+    def pushElem(name: String, anchor: Boolean, suppress: Boolean): Unit = {
       if (stack.length < caps.maxDepth) {
         stack += name
+        stackFlags += (if (anchor) 1 else 0) | (if (suppress) 2 else 0)
         cachedPathValid = false
-        if (name == "a") anchorDepth += 1
-        if (suppressTags.contains(name)) suppressDepth += 1
+        if (anchor) anchorDepth += 1
+        if (suppress) suppressDepth += 1
       } else truncated = true
     }
 
@@ -213,21 +350,23 @@ object HtmlTokenizer {
         cachedPathValid = false
         var k = stack.length - 1
         while (k >= j) {
-          val popped = stack.remove(k)
-          if (popped == "a") anchorDepth = math.max(0, anchorDepth - 1)
-          if (suppressTags.contains(popped)) suppressDepth = math.max(0, suppressDepth - 1)
+          stack.remove(k)
+          val f = stackFlags.remove(k)
+          if ((f & 1) != 0) anchorDepth = math.max(0, anchorDepth - 1)
+          if ((f & 2) != 0) suppressDepth = math.max(0, suppressDepth - 1)
           k -= 1
         }
       }
     }
 
-    @inline def isNameStart(c: Char): Boolean =
+    @inline private def isNameStart(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-    @inline def isNameChar(c: Char): Boolean =
+    @inline private def isNameChar(c: Char): Boolean =
       isNameStart(c) || (c >= '0' && c <= '9') || c == '-'
-    @inline def lower(c: Char): Char =
+    @inline private def lower(c: Char): Char =
       if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
+    def run(): Result = {
     var i = 0
     while (i < n && blocks.length < caps.maxBlocks) {
       val c = html.charAt(i)
@@ -253,11 +392,38 @@ object HtmlTokenizer {
             val end = boundedIndexOfChar(html, '>', j, n)
             i = if (end < 0) n else end + 1
           } else {
-            val nameSb = new java.lang.StringBuilder(8)
+            // rolling 6-bit tag code (zero allocation for any known tag)
+            val nameStart = j
+            var code = 0L
+            var nameLen = 0
             while (j < n && isNameChar(html.charAt(j))) {
-              nameSb.append(lower(html.charAt(j))); j += 1
+              if (nameLen < 11) {
+                val lc = lower(html.charAt(j))
+                val v =
+                  if (lc >= 'a' && lc <= 'z') lc - 'a' + 1
+                  else if (lc >= '0' && lc <= '9') lc - '0' + 27
+                  else 37 // '-'
+                code = (code << 6) | v
+              }
+              nameLen += 1
+              j += 1
             }
-            val name = nameSb.toString
+            val info =
+              if (nameLen <= 10) tagTable.getOrNull(code) else null
+            val name =
+              if (info != null) info.name
+              else {
+                val nameSb = new java.lang.StringBuilder(nameLen)
+                var q = nameStart
+                while (q < nameStart + nameLen) { nameSb.append(lower(html.charAt(q))); q += 1 }
+                nameSb.toString
+              }
+            val isBlock = if (info != null) info.block else blockTags.contains(name)
+            val isVoid = if (info != null) info.void else voidTags.contains(name)
+            val isRaw = if (info != null) info.rawText else rawTextTags.contains(name)
+            val isForeign = if (info != null) info.foreign else foreignRoots.contains(name)
+            val isSuppress = if (info != null) info.suppress else suppressTags.contains(name)
+            val isAnchor = if (info != null) info.anchor else name == "a"
             // scan to '>' quote-aware
             var selfClose = false
             var quote: Char = 0
@@ -273,14 +439,14 @@ object HtmlTokenizer {
             }
             if (!done) { i = n } // unterminated tag at EOF: drop
             else {
-              if (blockTags.contains(name)) flush()
+              if (isBlock) flush()
               // auto-close: <body> implicitly ends an unclosed <head>
               // (WHATWG tree-construction behavior; keeps malformed docs
               // from suppressing all body text)
               if (!closing && name == "body" && stack.contains("head"))
                 popThrough("head")
               if (closing) { popThrough(name); i = j }
-              else if (rawTextTags.contains(name)) {
+              else if (isRaw) {
                 // raw text content: skip to matching close tag, discard.
                 // WHATWG raw-text end-tag rule: the char after the tag name
                 // must be '>', '/', or ASCII whitespace — otherwise it is
@@ -295,31 +461,47 @@ object HtmlTokenizer {
                   i = if (end < 0) n else end + 1
                 }
               } else {
-                if (!voidTags.contains(name) && !(selfClose && foreignRoots.contains(name)))
-                  pushElem(name)
+                if (!isVoid && !(selfClose && isForeign))
+                  pushElem(name, isAnchor, isSuppress)
                 i = j
               }
             }
           }
         } else {
           // literal '<'
-          appendText("<", i, i + 1, oneToOne = true)
+          appendRun(i, i + 1)
           i += 1
         }
       } else if (c == '&') {
         val dec = Entities.tryDecode(html, i, n)
         if (dec != null) {
-          appendText(dec._1, i, i + dec._2, oneToOne = false)
+          appendDecoded(dec._1, i, i + dec._2)
           i += dec._2
         } else {
-          appendText("&", i, i + 1, oneToOne = true)
+          appendRun(i, i + 1)
           i += 1
         }
       } else {
-        // plain text run up to next special char
+        // plain text run up to next special char — ONE fused scan finds the
+        // run end and the first/last visible char (suppressed subtrees skip
+        // the visibility work entirely)
         var j = i
-        while (j < n && html.charAt(j) != '<' && html.charAt(j) != '&') j += 1
-        appendText(html.substring(i, j), i, j, oneToOne = true)
+        var firstV = -1
+        var lastV = -1
+        if (suppressDepth > 0) {
+          while (j < n && { val cc = html.charAt(j); cc != '<' && cc != '&' }) j += 1
+        } else {
+          var scanning = true
+          while (scanning && j < n) {
+            val cc = html.charAt(j)
+            if (cc == '<' || cc == '&') scanning = false
+            else {
+              if (isVisible(cc)) { if (firstV < 0) firstV = j; lastV = j }
+              j += 1
+            }
+          }
+        }
+        appendRunScanned(i, j, firstV, lastV)
         i = j
       }
       // close the current link run when leaving link context
@@ -328,6 +510,7 @@ object HtmlTokenizer {
     if (i < html.length) truncated = true
     flush()
     Result(blocks.toArray, truncated)
+    }
   }
 
   private def boundedIndexOfChar(s: String, ch: Char, from: Int, limit: Int): Int = {

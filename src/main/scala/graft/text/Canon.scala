@@ -43,20 +43,56 @@ object Canon {
     * only needs the NFC check.
     */
   def apply(s: String): String = {
+    // zero-copy fast path: a printable-ASCII string with single interior
+    // spaces and no leading/trailing space is canonical (and NFC) by
+    // definition — the dominant case for block text, worth one cheap scan
+    if (s != null && isCanonicalAscii(s)) return s
     var cur = onePass(s)
     var guard = 0
-    while (guard < 8 && !Normalizer.isNormalized(cur, Normalizer.Form.NFC)) {
+    while (guard < 8 && !(isAscii(cur) ||
+        Normalizer.isNormalized(cur, Normalizer.Form.NFC))) {
       cur = onePass(cur)
       guard += 1
     }
     cur
   }
 
+  /** True for printable-ASCII content already in canonical form (trimmed,
+    * single spaces): `onePass` would return an equal string.
+    */
+  private def isCanonicalAscii(s: String): Boolean = {
+    val n = s.length
+    if (n == 0) return true
+    if (s.charAt(0) == ' ' || s.charAt(n - 1) == ' ') return false
+    var prevSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (prevSpace) return false
+        prevSpace = true
+      } else if (c > ' ' && c < 0x7f) {
+        prevSpace = false
+      } else return false
+      i += 1
+    }
+    true
+  }
+
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
   /** One canonicalization pass (NFC + strip + collapse + trim). */
   private def onePass(s: String): String = {
     if (s == null || s.isEmpty) return ""
     val nfc =
-      if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
+      if (isAscii(s) || Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
       else Normalizer.normalize(s, Normalizer.Form.NFC)
     val n = nfc.length
     val out = new java.lang.StringBuilder(n)
@@ -64,7 +100,11 @@ object Canon {
     var i = 0
     while (i < n) {
       val c = nfc.charAt(i)
-      if (isWs(c)) pendingSpace = true
+      if (c > ' ' && c < 0x7f) { // printable ASCII: the dominant branch
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      } else if (isWs(c)) pendingSpace = true
       else if (isStripped(c) || isControl(c)) () // removed
       else {
         if (pendingSpace && out.length > 0) out.append(' ')
