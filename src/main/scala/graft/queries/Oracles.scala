@@ -491,6 +491,19 @@ object Oracles {
         |SELECT source, bucket AS angle_bucket, c AS n_lines
         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
 
+    // rotate 90° exact path: column-major position in a 4-wide row-major grid
+    "q_rotate" ->
+      """WITH g AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn0,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |SELECT source, doc_id,
+        |  cast((rn0 % 4) * cast((cnt - cnt % 4) / 4 AS INT)
+        |       + least(rn0 % 4, cnt % 4)
+        |       + cast((rn0 - rn0 % 4) / 4 AS INT) AS INT) AS new_pos
+        |FROM g ORDER BY source, new_pos""".stripMargin,
+
     "q_dedup_api" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS canonical

@@ -565,6 +565,27 @@ object RelationalQueries {
       .orderBy("source")
   }
 
+  /** rotate's 90° exact path demonstrated relationally (rotate.cpp:38-57
+    * via graft.boundary.Rotate): each source's row sequence is a row-major
+    * grid with 4 columns; the output position is the column-major
+    * (transposed) reading order — new_pos = c·R0 + min(c, rem) + r for
+    * 0-based rn with c = rn%4, r = rn/4, R0 = cnt/4, rem = cnt%4 (the
+    * closed form of Rotate.permutation(n, 90, 4), pinned by RotateSpec).
+    */
+  def qRotate(spark: SparkSession, dir: String): DataFrame = {
+    val rnW = Window.partitionBy("source").orderBy("doc_id")
+    docs(spark, dir)
+      .withColumn("rn0", row_number().over(rnW) - 1)
+      .withColumn("cnt", count(lit(1)).over(srcW))
+      .withColumn("c", $c("rn0") % 4)
+      .withColumn("r", (($c("rn0") - $c("c")) / 4).cast("int"))
+      .withColumn("r0", (($c("cnt") - $c("cnt") % 4) / 4).cast("int"))
+      .withColumn("new_pos",
+        ($c("c") * $c("r0") + least($c("c"), $c("cnt") % 4) + $c("r")).cast("int"))
+      .select($c("source"), $c("doc_id"), $c("new_pos"))
+      .orderBy("source", "new_pos")
+  }
+
   /** Language-ID by char-trigram profile over the frozen 25-language table
     * (graft.ops.TextStats.langId, native one-pass LangIdExpr).
     */
