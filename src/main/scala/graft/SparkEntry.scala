@@ -87,6 +87,7 @@ object SparkEntry {
     "q_simhash" -> (R.qSimHash _),
     "q_angle" -> (R.qAngle _),
     "q_rotate" -> (R.qRotate _),
+    "q_color_balance" -> (R.qColorBalance _),
     "q_fingerprint" -> (R.qFingerprint _),
     // cross-doc site-template removal (cleanBackgroundToWhite analogue)
     "q_template_chrome" -> (R.qTemplateChrome _),

@@ -221,6 +221,37 @@ object Oracles {
         |  round((least(greatest(n_chars * 1.0, p05), p95) - p05) / (p95 - p05), 4) AS wb
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // colorBalance (balanceColor.cpp:35-91): sqrt/square channel gammas +
+    // HSV saturation scaling, all single correctly-rounded IEEE ops
+    "q_color_balance" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) * 1.0 AS toks,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0 AS dtoks,
+        |    n_chars
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    toks / max(toks) OVER (PARTITION BY source) AS b,
+        |    (n_chars * 1.0) / max(n_chars) OVER (PARTITION BY source) AS g,
+        |    dtoks / max(dtoks) OVER (PARTITION BY source) AS r
+        |  FROM c),
+        |bal AS (
+        |  SELECT doc_id, sqrt(b) AS bb, g, r * r AS rb FROM n),
+        |hsv AS (
+        |  SELECT doc_id, bb, g, rb,
+        |    greatest(bb, g, rb) AS v, least(bb, g, rb) AS mn
+        |  FROM bal),
+        |sat AS (
+        |  SELECT doc_id, bb, g, rb, v,
+        |    CASE WHEN v > 0 THEN (v - mn) / v ELSE 0.0 END AS s
+        |  FROM hsv)
+        |SELECT doc_id,
+        |  round(v - (v - bb) * s, 4) AS b_bal,
+        |  round(v - (v - g) * s, 4) AS g_bal,
+        |  round(v - (v - rb) * s, 4) AS r_bal
+        |FROM sat ORDER BY doc_id""".stripMargin,
+
     "q_gray_world" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

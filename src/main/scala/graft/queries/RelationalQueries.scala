@@ -242,6 +242,36 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** colorBalance (balanceColor.cpp:35-91; VERDICT r2 §2.1 partial row):
+    * per-channel gamma on the B and R channels — B brightened by pow(1/γ),
+    * R darkened by pow(γ), G untouched (:58-65) — then a saturation gamma
+    * in HSV space (:71-88). Channels here are the document's three density
+    * fields normalized per source: B = tokens, G = chars, R = distinct
+    * tokens. γ = 2 so the gammas are sqrt/square and the saturation factor
+    * pow(s,2)/s collapses to s — every op (sqrt, *, /, -) is a single
+    * correctly-rounded IEEE operation, bit-identical across engines. The
+    * HSV round-trip is exact for fixed hue/value: scaling S by f scales
+    * (V - c) by f for every channel, so c' = v - (v - c)·s.
+    */
+  def qColorBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", size(split($c("text"), " ")).cast("double"))
+      .withColumn("dtoks", size(array_distinct(split($c("text"), " "))).cast("double"))
+      .withColumn("b", $c("toks") / max($c("toks")).over(srcW))
+      .withColumn("g", $c("n_chars").cast("double") / max($c("n_chars")).over(srcW))
+      .withColumn("r", $c("dtoks") / max($c("dtoks")).over(srcW))
+      .withColumn("bb", sqrt($c("b")))
+      .withColumn("rb", $c("r") * $c("r"))
+      .withColumn("v", greatest($c("bb"), $c("g"), $c("rb")))
+      .withColumn("mn", least($c("bb"), $c("g"), $c("rb")))
+      .withColumn("s", when($c("v") > 0, ($c("v") - $c("mn")) / $c("v")).otherwise(lit(0.0)))
+    d.select($c("doc_id"),
+      round($c("v") - ($c("v") - $c("bb")) * $c("s"), 4).as("b_bal"),
+      round($c("v") - ($c("v") - $c("g")) * $c("s"), 4).as("g_bal"),
+      round($c("v") - ($c("v") - $c("rb")) * $c("s"), 4).as("r_bal"))
+      .orderBy("doc_id")
+  }
+
   def qGrayWorld(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("rms", sqrt(avg($c("n_chars") * $c("n_chars")).over(srcW)))
