@@ -88,6 +88,7 @@ object SparkEntry {
     "q_angle" -> (R.qAngle _),
     "q_rotate" -> (R.qRotate _),
     "q_color_balance" -> (R.qColorBalance _),
+    "q_salted_distinct" -> (R.qSaltedDistinct _),
     "q_fingerprint" -> (R.qFingerprint _),
     // cross-doc site-template removal (cleanBackgroundToWhite analogue)
     "q_template_chrome" -> (R.qTemplateChrome _),

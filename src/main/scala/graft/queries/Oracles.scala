@@ -252,6 +252,11 @@ object Oracles {
         |  round(v - (v - rb) * s, 4) AS r_bal
         |FROM sat ORDER BY doc_id""".stripMargin,
 
+    // salted distinct count must equal the plain DISTINCT aggregate
+    "q_salted_distinct" ->
+      """SELECT source, count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_gray_world" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

@@ -272,6 +272,16 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** Salted distinct count (graft.ops.Skew — the north rule's "salting for
+    * skewed hosts"): two-phase (source, salt, text) spread + merge, output
+    * IDENTICAL to count(DISTINCT text) — which is exactly what the DuckDB
+    * oracle computes, proving the salted plan changes the shuffle layout
+    * and nothing else.
+    */
+  def qSaltedDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedDistinctCount(docs(spark, dir), "source", "text", saltBuckets = 8)
+      .orderBy("source")
+
   def qGrayWorld(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("rms", sqrt(avg($c("n_chars") * $c("n_chars")).over(srcW)))

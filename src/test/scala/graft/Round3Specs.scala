@@ -262,6 +262,57 @@ class DeskewSpec extends AnyFunSuite {
   }
 }
 
+/** Explicit salting for skewed hosts (graft.ops.Skew; BASELINE.json north
+  * rule): identical results to the unsalted aggregates, measurably
+  * balanced shuffle layout on a Zipf host distribution.
+  */
+class SkewSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** Zipf-ish corpus: one hot host holds 80% of all rows. */
+  private def zipf() = {
+    import spark.implicits._
+    val hot = (0 until 8000).map(i => ("hot.example", s"url-$i", s"text body ${i % 700}"))
+    val tail = (0 until 2000).map(i => (s"host${i % 40}.example", s"u-$i", s"tail text $i"))
+    (hot ++ tail).toDF("host", "url", "text")
+  }
+
+  test("salted aggregates are byte-identical to the unsalted ones") {
+    val df = zipf()
+    val plain = df.groupBy("host").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = graft.ops.Skew.saltedCount(df, "host", "url", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    val plainD = df.groupBy("host")
+      .agg(org.apache.spark.sql.functions.countDistinct("text").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val saltedD = graft.ops.Skew.saltedDistinctCount(df, "host", "text", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(saltedD == plainD)
+  }
+
+  test("salting spreads the hot key: max shuffle partition drops from ~80% to bucket-bounded") {
+    import org.apache.spark.sql.functions._
+    val df = zipf()
+    val n = df.count().toDouble
+    def maxFrac(d: org.apache.spark.sql.DataFrame): Double =
+      d.withColumn("p", spark_partition_id()).groupBy("p").count()
+        .collect().map(_.getLong(1)).max / n
+    val keyOnly = maxFrac(df.repartition(8, col("host")))
+    val saltedPart = maxFrac(df.repartition(8, col("host"),
+      graft.ops.Skew.saltCol(col("url"), 16)))
+    assert(keyOnly >= 0.8, s"fixture must be skewed: hot partition holds $keyOnly")
+    assert(saltedPart <= 0.3, s"salted layout must spread the hot host, got $saltedPart")
+  }
+}
+
 /** rotate's content (VERDICT r2 residual 5; rotate.cpp:35-72 via
   * graft.boundary.Rotate): exact 0/90/180/270 reindexing of a row-major
   * block grid — the tables-for-layout linearization.
