@@ -34,4 +34,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseG1GC")}",
-)
+) ++ sys.env.getOrElse("GRAFT_JVM_EXTRA", "").split(" ").filter(_.nonEmpty)

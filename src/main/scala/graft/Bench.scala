@@ -46,7 +46,8 @@ object Bench {
     // 240 MB corpus into 2 tasks and idle 30/32 cores. Same tuning applies
     // on a real cluster: files.maxPartitionBytes sized so scan tasks ≫
     // executor count.
-    .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+    .config("spark.sql.files.maxPartitionBytes",
+      (sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "4").toInt * 1024 * 1024).toString)
     .getOrCreate()
 
   /** Sums executor CPU-time/run-time over all tasks between reset() calls —
