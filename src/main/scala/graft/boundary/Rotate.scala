@@ -42,7 +42,12 @@ object Rotate {
       s"rotate: exact fast paths only (0/90/180/270), got $angle")
     require(cols >= 1, s"rotate: cols must be >= 1, got $cols")
     val n = blocks.length
-    if (angle == 0 || n <= 1 || (angle != 180 && (cols == 1 || cols >= n)))
+    // Identity fast path is only sound for 90°: transposing a single row or
+    // a single column leaves the order unchanged. 270° of the same degenerate
+    // grid is the FULL REVERSE (transpose + flip), and 180° always reverses —
+    // both must fall through to the permutation (ADVICE r3: the old
+    // `angle != 180` guard wrongly treated 270° here as identity).
+    if (angle == 0 || n <= 1 || (angle == 90 && (cols == 1 || cols >= n)))
       return blocks // identity fast path: nothing to transpose
     val perm = permutation(n, angle, cols)
     val out = new Array[Block](n)

@@ -75,8 +75,11 @@ object Deskew {
   }
 
   /** The document's structural skew: first-encountered mode of the
-    * wrapper-excess angles of long blocks (nChars >= maxChars/8). Returns 0
-    * for an empty document or one with no long blocks — the reference's
+    * wrapper-excess angles of long blocks (nChars * 8 >= maxChars — the
+    * minLineLength = width/8 gate in exact multiply form, matching the
+    * q_angle oracle's `n_chars * 8 >= mx` so the two sides agree even when
+    * maxChars is not divisible by 8; ADVICE r3). Returns 0 for an empty
+    * document or one with no long blocks — the reference's
     * `if (!nb_lines) return 0.0`.
     */
   def findAngle(blocks: Array[Block]): Int = {
@@ -87,13 +90,12 @@ object Deskew {
       if (blocks(i).nChars > maxChars) maxChars = blocks(i).nChars
       i += 1
     }
-    val minLen = maxChars / 8
     // clusters in first-encountered order (the reference's t_diff list)
     val order = scala.collection.mutable.ArrayBuffer.empty[Int]
     val counts = scala.collection.mutable.HashMap.empty[Int, Int]
     i = 0
     while (i < blocks.length) {
-      if (blocks(i).nChars >= minLen) {
+      if (blocks(i).nChars.toLong * 8 >= maxChars) {
         val a = angleOf(blocks(i).tagPath)
         if (!counts.contains(a)) order += a
         counts(a) = counts.getOrElse(a, 0) + 1

@@ -293,7 +293,8 @@ object Multimodal {
     * container walk, formatConvert.cpp:38-109).
     */
   def encodeAviVideo(width: Int, height: Int, fps: Int,
-      frames: Seq[Array[Int]], codec: String): Array[Byte] = {
+      frames: Seq[Array[Int]], codec: String,
+      dibTopDown: Boolean = false, zeroAvihDims: Boolean = false): Array[Byte] = {
     require(codec == "mjpeg" || codec == "dib", s"codec=$codec")
     def jpegFrame(argb: Array[Int]): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
@@ -308,7 +309,8 @@ object Multimodal {
       val out = new Array[Byte](rowBytes * height)
       var y = 0
       while (y < height) {
-        val srcRow = height - 1 - y // DIB rows are bottom-up
+        // biHeight > 0 → bottom-up storage; biHeight < 0 → top-down
+        val srcRow = if (dibTopDown) y else height - 1 - y
         var x = 0
         while (x < width) {
           val v = argb(srcRow * width + x)
@@ -335,7 +337,9 @@ object Multimodal {
     val maxFrame = frameChunks.map(_.length).maxOption.getOrElse(0)
     val avih = riffChunk("avih", le(
       1000000 / math.max(1, fps), 0, 0, 0x10 /*HASINDEX off, keep 0x10=WASCAPTUREFILE-ish flags minimal*/,
-      frames.length, 0, 1, maxFrame, width, height, 0, 0, 0, 0))
+      frames.length, 0, 1, maxFrame,
+      if (zeroAvihDims) 0 else width, if (zeroAvihDims) 0 else height,
+      0, 0, 0, 0))
     val handler = if (mjpeg) "MJPG" else "DIB "
     val strh = riffChunk("strh",
       "vids".getBytes("ASCII") ++ handler.getBytes("ASCII") ++
@@ -344,7 +348,8 @@ object Multimodal {
         le(0, 0) /*rcFrame as two dwords (4 shorts)*/)
     val biCompression = if (mjpeg) fourccLe("MJPG") else 0
     val strf = riffChunk("strf", le(
-      40, width, height, 1 | (24 << 16) /*biPlanes=1, biBitCount=24*/,
+      40, width, if (dibTopDown) -height else height,
+      1 | (24 << 16) /*biPlanes=1, biBitCount=24*/,
       biCompression, ((width * 3 + 3) & ~3) * height, 0, 0, 0, 0))
     val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
     val movi = riffList("movi", frameChunks: _*)
@@ -375,17 +380,30 @@ object Multimodal {
       bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
       return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
-    var w = -1; var h = -1
+    // Dims come from the video stream's strf BITMAPINFOHEADER when present
+    // (the authoritative source — biHeight < 0 means TOP-DOWN rows); the avih
+    // main header is only a fallback for files missing strf (ADVICE r3:
+    // avih-first sizing skipped AVIs with zeroed avih dims and mis-ordered
+    // top-down DIBs).
+    var avihW = -1; var avihH = -1        // fallback dims
+    var strfW = 0; var strfH = 0          // authoritative when strfW>0; strfH keeps sign
+    var inVideoStrl = false               // last strh seen was fccType "vids"
     var frameIdx = 0
     @inline def isDigit(c: Byte) = c >= '0' && c <= '9'
     def decodeDib(at: Int, len: Int): Option[FrameStats] = {
+      val haveStrf = strfW > 0 && strfH != 0
+      val topDown = haveStrf && strfH < 0
+      val w = if (haveStrf) strfW else avihW
+      val h = if (haveStrf) math.abs(strfH) else avihH
       if (w <= 0 || h <= 0) return None
       val rowBytes = (w * 3 + 3) & ~3
       if (len < rowBytes * h) return None
       var sr = 0L; var sg = 0L; var sb = 0L
       var y = 0
       while (y < h) {
-        val row = at + (h - 1 - y) * rowBytes // bottom-up
+        // biHeight > 0 → rows stored bottom-up; biHeight < 0 → top-down
+        val srcRow = if (topDown) y else h - 1 - y
+        val row = at + srcRow * rowBytes
         var x = 0
         while (x < w) {
           sb += bytes(row + x * 3) & 0xff
@@ -414,8 +432,17 @@ object Multimodal {
         if (c0 == 'L' && c1 == 'I' && c2 == 'S' && c3 == 'T' && len >= 4)
           scan(i + 12, i + 8 + len)
         else if (c0 == 'a' && c1 == 'v' && c2 == 'i' && c3 == 'h' && len >= 40) {
-          w = le32of(bytes, i + 8 + 32)
-          h = le32of(bytes, i + 8 + 36)
+          avihW = le32of(bytes, i + 8 + 32)
+          avihH = le32of(bytes, i + 8 + 36)
+        } else if (c0 == 's' && c1 == 't' && c2 == 'r' && c3 == 'h' && len >= 4) {
+          // stream header: fccType is the first 4 body bytes
+          inVideoStrl = bytes(i + 8) == 'v' && bytes(i + 9) == 'i' &&
+            bytes(i + 10) == 'd' && bytes(i + 11) == 's'
+        } else if (c0 == 's' && c1 == 't' && c2 == 'r' && c3 == 'f' &&
+          len >= 12 && inVideoStrl) {
+          // BITMAPINFOHEADER: biSize, biWidth, biHeight (signed), ...
+          strfW = le32of(bytes, i + 8 + 4)
+          strfH = le32of(bytes, i + 8 + 8)
         } else if (isDigit(c0) && isDigit(c1) &&
           ((c2 == 'd' && (c3 == 'c' || c3 == 'b')))) {
           if (frameIdx % everyN == 0) {

@@ -136,6 +136,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert((fs(0).sumR, fs(0).sumG, fs(0).sumB) == direct)
   }
+  test("AVI-DIB dims come from strf, not avih: zeroed-avih + top-down (negative biHeight) file decodes exactly (ADVICE r3)") {
+    val w = 9; val h = 4
+    def frame(f: Int) = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      (((x * 5 + y * 11 + f * 3) % 256) << 16) |
+        (((x + y * 7 + f) % 256) << 8) | ((x * 2 + y + f * 13) % 256)
+    }
+    val frames = (0 until 3).map(frame)
+    // avih dwWidth/dwHeight zeroed AND strf biHeight negative (top-down rows):
+    // the old avih-first sizing returned no frames at all for this file
+    val avi = Multimodal.encodeAviVideo(w, h, 10, frames, codec = "dib",
+      dibTopDown = true, zeroAvihDims = true)
+    val fs = Multimodal.decodeAviFrames(avi, everyN = 1)
+    assert(fs.map(_.frameIdx) == Seq(0, 1, 2), s"frames decoded: $fs")
+    fs.foreach { s =>
+      val px = frame(s.frameIdx)
+      assert(s.width == w && s.height == h)
+      assert(s.sumR == px.map(v => ((v >>> 16) & 0xff).toLong).sum)
+      assert(s.sumG == px.map(v => ((v >>> 8) & 0xff).toLong).sum)
+      assert(s.sumB == px.map(v => (v & 0xff).toLong).sum)
+    }
+    // and a bottom-up file with present avih still decodes identically (regression)
+    val classic = Multimodal.encodeAviVideo(w, h, 10, frames, codec = "dib")
+    assert(Multimodal.decodeAviFrames(classic, 1).map(s => (s.sumR, s.sumG, s.sumB)) ==
+      fs.map(s => (s.sumR, s.sumG, s.sumB)))
+  }
   test("AVI decode never throws on malformed bytes") {
     assert(Multimodal.decodeAviFrames(null, 2).isEmpty)
     assert(Multimodal.decodeAviFrames(Array.emptyByteArray, 2).isEmpty)

@@ -347,6 +347,19 @@ class RotateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Rotate(b, 45, 3))
   }
 
+  test("270 of a degenerate (single-row/column) grid is the FULL REVERSE, not identity (ADVICE r3)") {
+    val b = (0 until 5).map(i => block(s"c$i", i)).toArray
+    // single column (cols=1): 270 = transpose+flip = reverse
+    assert(Rotate(b, 270, 1).map(_.text).toSeq == b.reverse.map(_.text).toSeq)
+    // single row (cols >= n): same
+    assert(Rotate(b, 270, 99).map(_.text).toSeq == b.reverse.map(_.text).toSeq)
+    // apply() and permutation() must agree on these shapes
+    assert(Rotate(b, 270, 1).map(_.text).toSeq ==
+      Rotate.permutation(5, 270, 1).map(i => b(i).text).toSeq)
+    // and 180 on the same shapes still reverses (regression guard)
+    assert(Rotate(b, 180, 1).map(_.text).toSeq == b.reverse.map(_.text).toSeq)
+  }
+
   test("permutation(n, 90, 4) matches the q_rotate closed form") {
     // new_pos(rn) = c*R0 + min(c, rem) + r — the SQL formula both engines
     // compute; Rotate.permutation gives source-at-output-position, so the
