@@ -110,6 +110,11 @@ object SparkEntry {
     "q_multimodal_mjpeg" -> (PipelineQueries.qMultimodalMjpeg _),
     "q_extract_fbsect" -> (PipelineQueries.qExtractFbsect _),
     "q_extract_cocoedge" -> (PipelineQueries.qExtractCocoedge _),
+    "q_extract_nibhi" -> (PipelineQueries.qExtractRuleCorpus("nibhi") _),
+    "q_extract_nickdim" -> (PipelineQueries.qExtractRuleCorpus("nickdim") _),
+    "q_extract_wolfglob" -> (PipelineQueries.qExtractRuleCorpus("wolfglob") _),
+    "q_extract_fengpoly" -> (PipelineQueries.qExtractRuleCorpus("fengpoly") _),
+    "q_extract_kuwedge" -> (PipelineQueries.qExtractRuleCorpus("kuwedge") _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_clahe" -> (PipelineQueries.qExtractClahe _),

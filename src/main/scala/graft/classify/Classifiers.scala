@@ -121,8 +121,10 @@ object Classifiers {
         }
       case "wolfjolion" =>
         // t = m + k*(s/sMax - 1)*(m - min)  with row-global sMax, min
-        // (binarizeWolfJolion.cpp:114-130)
-        val sMax = math.max(ws.globalMaxStd(w), 1e-9)
+        // (binarizeWolfJolion.cpp:114-130). sMax comes from the SAME
+        // (masked) std map as s — see WindowStats.maskedGlobalMaxStd.
+        val sMax = math.max(
+          if (cfg.maskedStats) ws.maskedGlobalMaxStd(w) else ws.globalMaxStd(w), 1e-9)
         val mn = ws.globalMin
         var i = 0
         while (i < n) {
@@ -134,8 +136,9 @@ object Classifiers {
         // t = (1-a1)*m + a2*(s/Rs)*(m-min) + a3*min;
         // a2 = k1*(s/Rs)^gamma, a3 = k2*(s/Rs)^gamma; Rs = window-local max std
         // (binarizeFeng.cpp:110-142; Rs from the secondary larger window is
-        // simplified to the row-global max std)
-        val rs = math.max(ws.globalMaxStd(w), 1e-9)
+        // simplified to the row-global max std — masked like s itself)
+        val rs = math.max(
+          if (cfg.maskedStats) ws.maskedGlobalMaxStd(w) else ws.globalMaxStd(w), 1e-9)
         val mn = ws.globalMin
         var i = 0
         while (i < n) {

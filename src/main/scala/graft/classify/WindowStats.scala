@@ -146,5 +146,18 @@ final class WindowStats(x: Array[Double]) {
     while (i < n) { val s = std(i, window); if (s > m) m = s; i += 1 }
     m
   }
+
+  /** Masked companion of [[globalMaxStd]]: max over the SAME masked std map
+    * the per-block thresholds use. The reference normalizes by the max of
+    * the std map it thresholds with (binarizeWolfJolion.cpp:114-130); mixing
+    * a raw max into a masked map deflates s/sMax ~40x on link-chrome-heavy
+    * pages and collapses Wolf-Jolion into a Sauvola look-alike (caught by
+    * the wolfglob ground-truth corpus, r4).
+    */
+  def maskedGlobalMaxStd(window: Int): Double = {
+    var m = 0.0; var i = 0
+    while (i < n) { val s = maskedStd(i, window); if (s > m) m = s; i += 1 }
+    m
+  }
   def value(i: Int): Double = x(i)
 }

@@ -707,4 +707,172 @@ object FixtureGen {
 
   def cocoedge(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
     (0L until n.toLong).map(cocoedgeFixture(_, seed))
+
+  // --------------------------------- threshold-rule ground-truth set (r4)
+  //
+  // Per-kind corpora for the SCALAR threshold rules (VERDICT r3 item 3 — the
+  // fbsect/cocoedge pattern extended to niblack/nick/wolfjolion/feng/
+  // kuwahara): every page is built from EXACT-length paragraphs so the
+  // masked window statistics are exact rationals, and the kept/dropped
+  // decision under the target rule is provable from the published formula
+  // with a hard margin — while at least one named rival rule provably makes
+  // the OPPOSITE call on the probe blocks. Expected text is derived by the
+  // generator from construction (double-entry; GroundTruthVariantsSpec +
+  // GoldenParquet's refuse-gate hold both sides).
+  //
+  // Shared shape: nav(3 links, signal 0, excluded from masked stats) /
+  // content runs / a 3-block probe run / footer nav(3). Total blocks <= 32,
+  // so every width-63 window clamps to the WHOLE page: all blocks share one
+  // masked population and the analysis below is position-free.
+
+  /** A paragraph with EXACTLY `len` canonical characters (single-spaced
+    * ASCII, so Block.nChars == len and the signal value is exact).
+    */
+  private def exactPara(rng: Random, len: Int): String = {
+    val p = paragraph(rng, len + 20)
+    val s = p.substring(0, len - 1)
+    if (s.charAt(s.length - 1) == ' ') s.substring(0, s.length - 1) + "x."
+    else s + "."
+  }
+
+  /** One page of the shared probe shape: articles saturate at 255; the probe
+    * run takes exact value `probe`; `content` != 0 replaces the saturated
+    * articles with exact-value runs (the low-contrast regime).
+    */
+  private def genProbePage(rng: Random, probe: Int, content: Int,
+      keepProbe: Boolean): (String, List[String]) = {
+    val a1 = List.fill(4)(
+      if (content == 0) paragraph(rng, 300 + rng.nextInt(120))
+      else exactPara(rng, content))
+    val mid = List.fill(3)(exactPara(rng, probe))
+    val a2 = List.fill(4)(
+      if (content == 0) paragraph(rng, 300 + rng.nextInt(120))
+      else exactPara(rng, content))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    a1.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<aside class=\"teasers\">")
+    mid.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</aside>")
+    sb.append("<article>")
+    a2.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, if (keepProbe) a1 ++ mid ++ a2 else a1 ++ a2)
+  }
+
+  //  - "nibhi" (niblack, binarizeNiblack.cpp:107-112): 8x255 + 3x245 probes.
+  //    Masked m = 2775/11 = 252.27, s = 4.454. Niblack t = m + 0.2s = 253.16:
+  //    probes DROPPED (margin 8.2), articles kept (margin 1.8) — the +k*s
+  //    term above the mean is the decider. Rivals: meanadaptive t = m - 10 =
+  //    242.27 KEEPS the probes (margin 2.7); sauvola t = 203.6 keeps them
+  //    (margin 41). Probe 245 > strongLevel → raw (unsmoothed) labels.
+  //  - "wolfglob" (binarizeWolfJolion.cpp:114-130): 8x255 + 3x248 probes.
+  //    With one shared window, s == sMax exactly, so wolf's t = m +
+  //    k(s/sMax - 1)(m - min) collapses to t = m = 253.09: the GLOBAL
+  //    normalization anchors the threshold at the mean at the page's own
+  //    maximum-contrast window — probes at 248 dropped (margin 5.1),
+  //    articles kept (margin 1.9). Rivals: meanadaptive t = 243.09 keeps
+  //    (margin 4.9), sauvola t = 203.7 keeps. (niblack coincides here —
+  //    documented; the discriminators are the m-anchored rivals.)
+  //  - "nickdim" (binarizeNICK.cpp:114-131, negative-k signature per the
+  //    reference default binarizeNICK.h:46, scaled to this domain's k
+  //    magnitude: k = -0.1): the LOW-CONTRAST page NICK targets — 8x90
+  //    content + 3x75 probes, masked m = 85.9, s = 6.68. t_nick = m -
+  //    0.1*sqrt(m^2 + s^2) = 77.28: probes dropped (margin 2.3), content
+  //    kept (margin 12.7) — the sqrt(m^2+s^2) magnitude term tracks the
+  //    dim page's own level. Rivals: sauvola t = 69.6 keeps the probes
+  //    (margin 5.4); feng t = 0.45m = 38.7 keeps them.
+  //  - "fengpoly" (binarizeFeng.cpp:110-142): 8x255 + 3x150 probes. With
+  //    sr = s/Rs = 1 and min = 0 (nav zeros), feng's polynomial t =
+  //    (1-a1)m + k1*sr^(g+1)(m-mn) + k2*sr^g*mn = 0.45m = 101.9: probes
+  //    KEPT (margin 48) — the a1-weighted mean with polynomial sr powers
+  //    sits far below every m-anchored rule. Rivals: sauvola t = 197.7
+  //    drops the probes (margin 47.7); meanadaptive t = 216.4 drops;
+  //    wolfjolion t = m = 226.4 drops; niblack t = 235.8 drops. Feng is
+  //    the unique keeper. Expected includes the probe run.
+  //  - "kuwedge" (kuwaharaFilter.cpp:138-172): 8x255 bright then 8x140 dim,
+  //    NO separator — a sharp content edge. The sector rule picks the
+  //    lower-variance side, so every dim block's smoothed level comes from
+  //    the uniform dim side (sm <= 125 → t <= 115 < 140): ALL 16 blocks
+  //    kept. Every window-mean rule blurs across the edge (masked m =
+  //    197.5 mixes both halves): meanadaptive t = 187.5, sauvola t = 175.7,
+  //    niblack t = 209, wolf t = m, nick(-0.1) t = 176.9 — all drop the
+  //    entire dim half. Edge preservation IS the deciding property.
+  private def genKuwedge(rng: Random): (String, List[String]) = {
+    val bright = List.fill(8)(paragraph(rng, 300 + rng.nextInt(120)))
+    val dim = List.fill(8)(exactPara(rng, 140))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    bright.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    dim.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, bright ++ dim)
+  }
+
+  private def ruleFixture(corpus: String, id: Long, seed: Long)(
+      gen: Random => (String, List[String])): Fixture = {
+    val url = s"https://reg-$corpus.example/r/$id"
+    val rng = new Random(seed ^ url.hashCode.toLong ^ scramble(id))
+    val (html, paras) = gen(rng)
+    val ts = new Timestamp(1700000000000L + (id % 86400000L))
+    Fixture(PageRow(url, ts, html.getBytes(StandardCharsets.UTF_8),
+      paras.headOption.getOrElse(""), "en"), paras.mkString("\n"), corpus)
+  }
+
+  def nibhiFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("nibhi", id, seed)(genProbePage(_, 245, 0, keepProbe = false))
+  def nickdimFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("nickdim", id, seed)(genProbePage(_, 75, 90, keepProbe = false))
+  def wolfglobFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("wolfglob", id, seed)(genProbePage(_, 248, 0, keepProbe = false))
+  def fengpolyFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("fengpoly", id, seed)(genProbePage(_, 150, 0, keepProbe = true))
+  def kuwedgeFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("kuwedge", id, seed)(genKuwedge)
+
+  /** Per-id dispatch (the distributed PageSource path). */
+  def ruleFixtureFor(corpus: String, id: Long, seed: Long = 42L): Fixture = corpus match {
+    case "nibhi" => nibhiFixture(id, seed)
+    case "nickdim" => nickdimFixture(id, seed)
+    case "wolfglob" => wolfglobFixture(id, seed)
+    case "fengpoly" => fengpolyFixture(id, seed)
+    case "kuwedge" => kuwedgeFixture(id, seed)
+    case other => sys.error(s"unknown rule corpus: $other")
+  }
+
+  def nibhi(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(nibhiFixture(_, seed))
+  def nickdim(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(nickdimFixture(_, seed))
+  def wolfglob(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(wolfglobFixture(_, seed))
+  def fengpoly(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(fengpolyFixture(_, seed))
+  def kuwedge(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(kuwedgeFixture(_, seed))
+
+  /** The per-kind extraction config each rule corpus is verified under
+    * (single source of truth for queries, GoldenParquet's refuse-gate, and
+    * GroundTruthVariantsSpec). nick runs its reference-faithful NEGATIVE k
+    * (binarizeNICK.h:46's -0.01 scaled to this domain's k magnitude).
+    */
+  def ruleCorpora: Seq[(String, Int => IndexedSeq[Fixture], graft.classify.Classifiers.Config)] = {
+    import graft.classify.Classifiers.Config
+    Seq(
+      ("nibhi", nibhi(_: Int), Config(kind = "niblack")),
+      ("nickdim", nickdim(_: Int), Config(kind = "nick", k = -0.1)),
+      ("wolfglob", wolfglob(_: Int), Config(kind = "wolfjolion")),
+      ("fengpoly", fengpoly(_: Int), Config(kind = "feng")),
+      ("kuwedge", kuwedge(_: Int), Config(kind = "kuwahara")),
+    )
+  }
 }

@@ -32,7 +32,9 @@ object PipelineQueries {
     "q_boundary", "q_resume_antijoin", "q_orientation",
     "q_extract_adversarial", "q_extract_houghsep", "q_extract_profiled",
     "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge",
-    "q_extract_clahe", "q_extract_overwrap") ++
+    "q_extract_clahe", "q_extract_overwrap",
+    "q_extract_nibhi", "q_extract_nickdim", "q_extract_wolfglob",
+    "q_extract_fengpoly", "q_extract_kuwedge") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(
@@ -161,6 +163,21 @@ object PipelineQueries {
     val pages = PageSource.cocoedgePages(spark, RegN)
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = "cococlust"))
     hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+  }
+
+  /** Threshold-rule ground-truth corpora under their kinds (VERDICT r3
+    * item 3): nibhi/niblack, nickdim/nick(-0.1), wolfglob/wolfjolion,
+    * fengpoly/feng, kuwedge/kuwahara. Margin analysis + discrimination
+    * matrix live in FixtureGen's corpus comments and
+    * GroundTruthVariantsSpec; GoldenParquet's refuse-gate anchors each
+    * frozen golden to generator ground truth (double-entry, like fbsect).
+    */
+  def qExtractRuleCorpus(corpus: String)(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, ccfg) = graft.fixtures.FixtureGen.ruleCorpora
+      .find(_._1 == corpus).getOrElse(sys.error(s"unknown rule corpus $corpus"))
+    val pages = PageSource.rulePages(spark, corpus, RegN)
+    hashShape(ExtractJob.extract(pages, Extract.Config(classifier = ccfg)).toDF())
+      .orderBy("url")
   }
 
   /** findAngle + rotate(−angle) over the over-wrapped corpus (deskew.cpp:

@@ -38,6 +38,13 @@ object PageSource {
       partitions: Int = 0): Dataset[PageRow] =
     generate(spark, n, partitions)(id => FixtureGen.overwrapFixture(id, seed).page)
 
+  /** Threshold-rule ground-truth corpora (r4: nibhi/nickdim/wolfglob/
+    * fengpoly/kuwedge — see FixtureGen.ruleCorpora).
+    */
+  def rulePages(spark: SparkSession, corpus: String, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[PageRow] =
+    generate(spark, n, partitions)(id => FixtureGen.ruleFixtureFor(corpus, id, seed).page)
+
   private def generate(spark: SparkSession, n: Long, partitions: Int)(
       gen: Long => PageRow): Dataset[PageRow] = {
     import spark.implicits._

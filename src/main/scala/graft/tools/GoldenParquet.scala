@@ -61,8 +61,19 @@ object GoldenParquet {
       if (graft.pipeline.Extract(f.page, owCfg).extracted_text != f.expected) bad += 1
     }
     require(bad == 0, s"REFUSING: overwrap fbcitb+deskew != ground truth on $bad/140")
+    // threshold-rule corpora (VERDICT r3 item 3): each scalar rule anchored
+    // to generator ground truth on the corpus where its distinctive term is
+    // the deciding factor (margin analysis in FixtureGen.ruleCorpora)
+    graft.fixtures.FixtureGen.ruleCorpora.foreach { case (corpus, gen, ccfg) =>
+      val cfg = graft.pipeline.Extract.Config(classifier = ccfg)
+      gen(140).foreach { f =>
+        if (graft.pipeline.Extract(f.page, cfg).extracted_text != f.expected) bad += 1
+      }
+      require(bad == 0, s"REFUSING: $corpus ${ccfg.kind} != ground truth on $bad/140")
+    }
     println("double-entry gates green (400 standard + 200 adversarial + " +
-      "140 fbsect + 140 cocoedge + 140 overwrap)")
+      "140 fbsect + 140 cocoedge + 140 overwrap + 5 x 140 threshold-rule " +
+      "corpora: nibhi/nickdim/wolfglob/fengpoly/kuwedge)")
     if (mode != "write") return
 
     val spark = SparkSession.builder()

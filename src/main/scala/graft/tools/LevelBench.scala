@@ -38,6 +38,8 @@ object LevelBench {
         if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
     })
     val input = graft.Bench.ensureInput(spark, n)
+    val split = graft.Bench.tuneSplitFor(spark, input) // auto split sizing (r3 item 6)
+    System.err.println(s"split_bytes=$split")
     // warmup (JIT)
     val warm = graft.Bench.ensureInput(spark, math.min(n, 40000L))
     (1 to 2).foreach(_ => graft.Bench.extractionRun(spark, warm))
@@ -69,6 +71,7 @@ object LevelBench {
         if (lb >= quietLoad) waiting = false // budget spent: stop hunting
         else {
           val tb = graft.Bench.totalBusyJiffies(); val ob = graft.Bench.ownJiffies()
+          val wb = graft.Bench.iowaitJiffies(); val rb = graft.Bench.selfReadBytes()
           val c0 = cpuNs.get()
           val (wall, docs, bytes) = graft.Bench.extractionRun(spark, input)
           // settle the async listener bus before reading (tail task events)
@@ -78,11 +81,18 @@ object LevelBench {
           while (si < 20 && curC != prevC) { Thread.sleep(50); prevC = curC; curC = cpuNs.get(); si += 1 }
           val cpuS = (curC - c0) / 1e9
           val ta = graft.Bench.totalBusyJiffies(); val oa = graft.Bench.ownJiffies()
+          val wa = graft.Bench.iowaitJiffies(); val ra = graft.Bench.selfReadBytes()
           val ext =
             if (tb < 0 || ob < 0 || ta < 0 || oa < 0 || wall <= 0) -1.0
             else math.max(0.0, ((ta - tb) - (oa - ob)) / 100.0 / wall)
+          val iow = if (wb < 0 || wa < 0 || wall <= 0) -1.0
+            else math.max(0.0, (wa - wb) / 100.0 / wall)
+          val mbps = if (rb < 0 || ra < 0 || wall <= 0) -1.0
+            else math.max(0.0, (ra - rb) / 1e6 / wall)
           val line = f"""{"cpus":$cpus,"pass":${i + 1},"wall_s":$wall%.2f,"cpu_s":$cpuS%.2f,""" +
-            f""""gate_ext_cores":$lb%.2f,"ext_busy_cores":$ext%.2f,"docs":$docs,"bytes":$bytes}""" + "\n"
+            f""""gate_ext_cores":$lb%.2f,"ext_busy_cores":$ext%.2f,""" +
+            f""""iowait_cores":$iow%.2f,"self_read_mbps":$mbps%.1f,""" +
+            f""""docs":$docs,"bytes":$bytes}""" + "\n"
           Files.write(Paths.get(outFile), line.getBytes("UTF-8"),
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
           System.err.println(line.trim)

@@ -1,0 +1,203 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Multi-JVM executor-emulation scaling experiment (VERDICT r3 item 1 — the
+  * one unmet north-rule gate). Launches [[MultiJvmWorker]] JVMs — each an
+  * emulated EXECUTOR with its own heap, GC, and scheduler — and fires
+  * extraction passes across all of them in lock-step, recording one
+  * aggregate JSON line per pass.
+  *
+  * Configurations measured (all over the same pre-materialized corpus):
+  *   - ex1_local8_full     1 × local[8]  (4g)  × full corpus   — "N executors"
+  *   - ex4_local8_full     4 × local[8]  (4g)  × full corpus   — "4N executors",
+  *                         weak scaling: identical per-JVM work as ex1
+  *   - ex1_local8_quarter  1 × local[8]  (4g)  × quarter slice
+  *   - ex4_local8_quarter  4 × local[8]  (4g)  × disjoint quarters — strong
+  *                         scaling: the SAME 1M-doc job partitioned 4 ways
+  *   - ex1_local32_full    1 × local[32] (16g) × full corpus   — the
+  *                         single-consolidated-JVM comparison point (r3's
+  *                         0.74–0.76 wall efficiency lives here)
+  *
+  * The heap split keeps PER-CORE memory constant (0.5 GB/core), exactly how
+  * a cluster manager would carve a 32-core/16 GB node into four 8-core
+  * executors.
+  *
+  * Scaling efficiencies derivable from the output:
+  *   weak   eff = wall(ex1_local8_full)  / wall(ex4_local8_full)
+  *   strong eff = wall(ex1_local8_full)  / (4 × wall(ex4_local8_quarter))
+  *   multi-vs-single-JVM at 32 cores: aggregate docs/s of ex4_local8_full
+  *     vs 4 × docs/s of ex1_local32_full's quarter-rate
+  *
+  * Every pass starts only inside a quiet window (co-tenant busy cores < 1
+  * AND iowait cores < 1, probed with worker self-jiffies excluded) or after
+  * the per-pass hunt budget expires — and each record carries the measured
+  * contention either way (self-proving, VERDICT r2 item 1 / r3 item 2).
+  *
+  * Usage: runMain graft.tools.MultiJvmBench <outJsonl> [passes] [huntS] [docs]
+  */
+object MultiJvmBench {
+
+  private val hz = 100.0
+
+  private def pidJiffies(pid: Long): Double =
+    try {
+      val s = new String(Files.readAllBytes(Paths.get(s"/proc/$pid/stat")), "UTF-8")
+      val f = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      f(11).toDouble + f(12).toDouble
+    } catch { case scala.util.control.NonFatal(_) => 0.0 }
+
+  final case class WorkerSpec(threads: Int, heap: String, sliceK: Int, sliceM: Int)
+  final case class Config(name: String, workers: Seq[WorkerSpec])
+
+  def main(args: Array[String]): Unit = {
+    val outFile = Paths.get(if (args.length > 0) args(0) else "BENCH/multi_jvm.jsonl")
+    val passes = if (args.length > 1) args(1).toInt else 5
+    val huntS = if (args.length > 2) args(2).toDouble else 150.0
+    val docs = if (args.length > 3) args(3).toLong else 1000000L
+
+    // 1. materialize the corpus once (generation must not pollute measurement)
+    val gen = graft.Bench.session("32")
+    gen.sparkContext.setLogLevel("ERROR")
+    val inputDir = graft.Bench.ensureInput(gen, docs)
+    gen.stop()
+
+    val configs = Seq(
+      Config("ex1_local8_full", Seq(WorkerSpec(8, "4g", 0, 1))),
+      Config("ex4_local8_full", (0 until 4).map(_ => WorkerSpec(8, "4g", 0, 1))),
+      Config("ex1_local8_quarter", Seq(WorkerSpec(8, "4g", 0, 4))),
+      Config("ex4_local8_quarter", (0 until 4).map(k => WorkerSpec(8, "4g", k, 4))),
+      Config("ex1_local32_full", Seq(WorkerSpec(32, "16g", 0, 1))),
+    )
+
+    Files.createDirectories(outFile.getParent)
+    configs.foreach(c => runConfig(c, inputDir, outFile, passes, huntS))
+    System.err.println(s"multi-JVM bench complete -> $outFile")
+  }
+
+  // the same JPMS opens spark needs on JDK 17 (mirrors build.sbt)
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  def runConfig(cfg: Config, inputDir: String, outFile: java.nio.file.Path,
+      passes: Int, huntS: Double): Unit = {
+    val ctrl = Files.createTempDirectory(s"graft_mj_${cfg.name}_")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    System.err.println(s"[${cfg.name}] launching ${cfg.workers.length} worker JVM(s)")
+    val procs = cfg.workers.zipWithIndex.map { case (w, id) =>
+      val cmd = (Seq(javaBin, s"-Xmx${w.heap}", s"-Xms${w.heap}", "-XX:+UseG1GC",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+        addOpens ++
+        Seq("-cp", cp, "graft.tools.MultiJvmWorker",
+          w.threads.toString, w.heap, inputDir,
+          w.sliceK.toString, w.sliceM.toString, ctrl.toString, id.toString))
+      new ProcessBuilder(cmd: _*)
+        .redirectOutput(ctrl.resolve(s"worker_$id.out").toFile)
+        .redirectError(ctrl.resolve(s"worker_$id.err").toFile)
+        .start()
+    }
+    val pids = procs.map(_.pid())
+    try {
+      var pass = 1
+      while (pass <= passes) {
+        // barrier: all workers warmed up / finished previous pass
+        val deadline = System.nanoTime() + 900L * 1000000000L
+        def allReady = cfg.workers.indices.forall(id =>
+          Files.exists(ctrl.resolve(s"ready_${id}_$pass")))
+        while (!allReady && System.nanoTime() < deadline) {
+          if (procs.exists(!_.isAlive))
+            sys.error(s"[${cfg.name}] worker died during warmup/pass ${pass - 1}; " +
+              s"see ${ctrl}/worker_*.err")
+          Thread.sleep(200)
+        }
+        if (!allReady) sys.error(s"[${cfg.name}] barrier timeout at pass $pass")
+
+        // quiet hunt: 2 s probes of co-tenant busy cores and iowait, with
+        // our own + worker jiffies subtracted (idle workers contribute ~0)
+        def probe(): (Double, Double) = {
+          val tb = graft.Bench.totalBusyJiffies(); val ob = graft.Bench.ownJiffies()
+          val wb = pids.map(pidJiffies).sum; val ib = graft.Bench.iowaitJiffies()
+          Thread.sleep(2000)
+          val ta = graft.Bench.totalBusyJiffies(); val oa = graft.Bench.ownJiffies()
+          val wa = pids.map(pidJiffies).sum; val ia = graft.Bench.iowaitJiffies()
+          val ext = if (tb < 0 || ta < 0) Double.MaxValue
+            else math.max(0.0, ((ta - tb) - (oa - ob) - (wa - wb)) / hz / 2.0)
+          val iow = if (ib < 0 || ia < 0) Double.MaxValue
+            else math.max(0.0, (ia - ib) / hz / 2.0)
+          (ext, iow)
+        }
+        val huntT0 = System.nanoTime()
+        var gate = probe()
+        while ((gate._1 >= 1.0 || gate._2 >= 1.0) &&
+            (System.nanoTime() - huntT0) / 1e9 < huntS) {
+          Thread.sleep(5000)
+          gate = probe()
+        }
+
+        // fire: snapshot → go → wait done → snapshot
+        val tb = graft.Bench.totalBusyJiffies(); val ob = graft.Bench.ownJiffies()
+        val wjb = pids.map(pidJiffies).sum; val iwb = graft.Bench.iowaitJiffies()
+        Files.write(ctrl.resolve(s"go_$pass"), Array.emptyByteArray,
+          StandardOpenOption.CREATE)
+        def allDone = cfg.workers.indices.forall(id =>
+          Files.exists(ctrl.resolve(s"done_${id}_$pass")))
+        val passDeadline = System.nanoTime() + 900L * 1000000000L
+        while (!allDone && System.nanoTime() < passDeadline) {
+          if (procs.exists(!_.isAlive))
+            sys.error(s"[${cfg.name}] worker died mid-pass $pass; see ${ctrl}/worker_*.err")
+          Thread.sleep(100)
+        }
+        if (!allDone) sys.error(s"[${cfg.name}] pass $pass timeout")
+        val ta = graft.Bench.totalBusyJiffies(); val oa = graft.Bench.ownJiffies()
+        val wja = pids.map(pidJiffies).sum; val iwa = graft.Bench.iowaitJiffies()
+
+        val recs = cfg.workers.indices.map { id =>
+          new String(Files.readAllBytes(ctrl.resolve(s"done_${id}_$pass")), "UTF-8").trim
+        }
+        // cross-JVM wall: earliest epoch start → latest epoch end
+        def field(rec: String, k: String): Double = {
+          val m = (s""""$k":(-?[0-9.]+)""").r.findFirstMatchIn(rec)
+          m.map(_.group(1).toDouble).getOrElse(Double.NaN)
+        }
+        val t0 = recs.map(field(_, "t0_ms")).min
+        val t1 = recs.map(field(_, "t1_ms")).max
+        val wallAgg = (t1 - t0) / 1000.0
+        val docsTot = recs.map(field(_, "docs")).sum.toLong
+        val bytesTot = recs.map(field(_, "bytes")).sum.toLong
+        val cpuTot = recs.map(field(_, "cpu_s")).sum
+        val gcTot = recs.map(field(_, "gc_ms")).sum.toLong
+        val walls = recs.map(field(_, "wall_s"))
+        val ext = math.max(0.0, ((ta - tb) - (oa - ob) - (wja - wjb)) / hz / wallAgg)
+        val iow = math.max(0.0, (iwa - iwb) / hz / wallAgg)
+        val quiet = gate._1 < 1.0 && gate._2 < 1.0 && ext < 1.0 && iow < 1.0
+        val line = f"""{"config":"${cfg.name}","pass":$pass,""" +
+          f""""jvms":${cfg.workers.length},"threads":${cfg.workers.head.threads},""" +
+          f""""heap":"${cfg.workers.head.heap}","wall_agg_s":$wallAgg%.3f,""" +
+          f""""worker_walls_s":${walls.map(w => f"$w%.3f").mkString("[", ",", "]")},""" +
+          f""""docs":$docsTot,"bytes":$bytesTot,"cpu_s":$cpuTot%.2f,"gc_ms":$gcTot,""" +
+          f""""docs_per_sec":${docsTot / wallAgg}%.0f,""" +
+          f""""gate_ext_cores":${gate._1}%.2f,"gate_iowait_cores":${gate._2}%.2f,""" +
+          f""""ext_busy_cores":$ext%.2f,"iowait_cores":$iow%.2f,"quiet":$quiet}"""
+        Files.write(outFile, (line + "\n").getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        System.err.println(line)
+        pass += 1
+      }
+    } finally {
+      try Files.write(ctrl.resolve("stop"), Array.emptyByteArray,
+        StandardOpenOption.CREATE)
+      catch { case scala.util.control.NonFatal(_) => () }
+      procs.foreach { p =>
+        if (!p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      }
+    }
+  }
+}
