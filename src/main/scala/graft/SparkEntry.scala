@@ -115,6 +115,7 @@ object SparkEntry {
     "q_extract_wolfglob" -> (PipelineQueries.qExtractRuleCorpus("wolfglob") _),
     "q_extract_fengpoly" -> (PipelineQueries.qExtractRuleCorpus("fengpoly") _),
     "q_extract_kuwedge" -> (PipelineQueries.qExtractRuleCorpus("kuwedge") _),
+    "q_extract_colflow" -> (PipelineQueries.qExtractColflow _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_clahe" -> (PipelineQueries.qExtractClahe _),

@@ -59,6 +59,38 @@ object Rotate {
     out
   }
 
+  /** Pipeline entry (Extract.Config(rotate, rotateCols), r4): apply the
+    * exact rotation to every MAXIMAL RUN of table-cell blocks (tagPath leaf
+    * `td`/`th`) — the webtext analogue of rotating the page Mat by a
+    * caller-given angle (rotate.cpp:35-72 takes the angle as a parameter;
+    * here the caller states the layout-grid geometry). Non-cell blocks and
+    * single-cell runs are untouched; `idx` is rewritten to the new document
+    * order across the whole array.
+    */
+  def tableRuns(blocks: Array[Block], angle: Int, cols: Int): Array[Block] = {
+    if (angle == 0 || cols <= 0 || blocks.length <= 1) return blocks
+    @inline def isCell(b: Block): Boolean = {
+      val p = b.tagPath
+      p.endsWith("/td") || p.endsWith("/th") || p == "td" || p == "th"
+    }
+    var out: Array[Block] = null // allocate only if a run actually rotates
+    var i = 0
+    while (i < blocks.length) {
+      if (isCell(blocks(i))) {
+        var j = i
+        while (j < blocks.length && isCell(blocks(j))) j += 1
+        if (j - i > 1) {
+          val rot = apply(java.util.Arrays.copyOfRange(blocks, i, j), angle, cols)
+          if (out == null) out = blocks.clone()
+          var k = 0
+          while (k < rot.length) { out(i + k) = rot(k).copy(idx = i + k); k += 1 }
+        }
+        i = j
+      } else i += 1
+    }
+    if (out == null) blocks else out
+  }
+
   /** The source index read at each output position, for a row-major
     * rows×cols grid of n cells (ragged last row allowed).
     */

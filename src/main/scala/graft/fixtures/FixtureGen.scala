@@ -839,6 +839,65 @@ object FixtureGen {
   def kuwedgeFixture(id: Long, seed: Long = 42L): Fixture =
     ruleFixture("kuwedge", id, seed)(genKuwedge)
 
+  /** "colflow" corpus (rotate ground truth, rotate.cpp:35-72 via
+    * graft.boundary.Rotate, r4): the page's midsection is a
+    * tables-for-layout grid — 3 columns × 3-4 rows of full content
+    * paragraphs — whose CONTENT FLOWS DOWN THE COLUMNS, but the DOM emits
+    * it row-major (tr→td). Reading order = the 90° transpose of the block
+    * grid, so expected text = articles + columns in column-major order.
+    * WITHOUT Extract.Config(rotate=90, rotateCols=3) the extraction emits
+    * the interleaved row-major order and is wrong on every page; WITH it
+    * the linearization recovers ground truth (the q_extract_overwrap
+    * discrimination pattern). ~1 page in 3 has a RAGGED last row (the last
+    * column one cell short), exercising Rotate's skip-never-pad path.
+    */
+  private def genColflow(rng: Random): (String, List[String]) = {
+    val k1 = 3 + rng.nextInt(2)
+    val k2 = 3 + rng.nextInt(2)
+    val a1 = List.fill(k1)(paragraph(rng, 300 + rng.nextInt(120)))
+    val a2 = List.fill(k2)(paragraph(rng, 300 + rng.nextInt(120)))
+    val cols = 3
+    val rows = 3 + rng.nextInt(2)
+    val ragged = rng.nextInt(3) == 0 // last row one cell short
+    // column-major ground truth: column c holds consecutive reading order
+    val colLen = Array.tabulate(cols)(c =>
+      if (ragged && c == cols - 1) rows - 1 else rows)
+    val columns = colLen.map(len =>
+      Array.fill(len)(paragraph(rng, 300 + rng.nextInt(120))))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    a1.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    // DOM order is row-major: cell(r, c) = columns(c)(r)
+    sb.append("<table class=\"layout\">")
+    var r = 0
+    while (r < rows) {
+      sb.append("<tr>")
+      var c = 0
+      while (c < cols) {
+        if (r < colLen(c)) sb.append("<td>").append(columns(c)(r)).append("</td>")
+        c += 1
+      }
+      sb.append("</tr>")
+      r += 1
+    }
+    sb.append("</table>")
+    sb.append("<article>")
+    a2.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, a1 ++ columns.flatten.toList ++ a2)
+  }
+
+  def colflowFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("colflow", id, seed)(genColflow)
+
+  def colflow(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(colflowFixture(_, seed))
+
   /** Per-id dispatch (the distributed PageSource path). */
   def ruleFixtureFor(corpus: String, id: Long, seed: Long = 42L): Fixture = corpus match {
     case "nibhi" => nibhiFixture(id, seed)
@@ -846,6 +905,7 @@ object FixtureGen {
     case "wolfglob" => wolfglobFixture(id, seed)
     case "fengpoly" => fengpolyFixture(id, seed)
     case "kuwedge" => kuwedgeFixture(id, seed)
+    case "colflow" => colflowFixture(id, seed)
     case other => sys.error(s"unknown rule corpus: $other")
   }
 

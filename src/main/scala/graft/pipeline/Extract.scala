@@ -41,6 +41,15 @@ object Extract {
       // classification. Off by default — deskew is opt-in in the reference
       // too. The angle is ALWAYS measured and reported in stats.angle.
       deskew: Boolean = false,
+      // rotate (rotate.cpp:35-72 via graft.boundary.Rotate, r4): when
+      // rotate != 0 and rotateCols > 0, every maximal run of table-cell
+      // blocks is treated as a row-major grid `rotateCols` wide and
+      // re-ordered by the exact 90/180/270 reindexing — the
+      // tables-for-layout linearization (a column-flow grid reads correctly
+      // only in its 90° transpose). The caller supplies the geometry, as
+      // the reference's caller supplies the angle. Off by default.
+      rotate: Int = 0,
+      rotateCols: Int = 0,
       blockSeparator: String = "\n"
   )
 
@@ -61,13 +70,20 @@ object Extract {
     if (tok.blocks.isEmpty)
       return quarantine(row.url, Status.NoBlocks, htmlBytes.length, dec.text.length,
         dec.charset, garbage)
+    // 2a. rotate (opt-in, caller-given geometry): linearize column-flow
+    // layout tables BEFORE any order-sensitive stage — downstream windows,
+    // regions and the boundary crop must see reading order
+    val rotated =
+      if (cfg.rotate != 0 && cfg.rotateCols > 0)
+        graft.boundary.Rotate.tableRuns(tok.blocks, cfg.rotate, cfg.rotateCols)
+      else tok.blocks
     // 2b. findAngle (always measured) + optional rotate(−angle): strip
     // systematic wrapper nesting so the tagPath region tree sees section
     // boundaries, not template noise (deskew.cpp:139-206 via Deskew)
-    val angle = graft.detect.Deskew.findAngle(tok.blocks)
+    val angle = graft.detect.Deskew.findAngle(rotated)
     val blocks =
-      if (cfg.deskew) graft.detect.Deskew.deskew(tok.blocks, angle)
-      else tok.blocks
+      if (cfg.deskew) graft.detect.Deskew.deskew(rotated, angle)
+      else rotated
     // 3. classify + 4. artifacts + 5. boundary
     val clsCfg =
       if (cfg.autoProfile)

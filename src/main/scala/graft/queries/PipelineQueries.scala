@@ -34,7 +34,7 @@ object PipelineQueries {
     "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge",
     "q_extract_clahe", "q_extract_overwrap",
     "q_extract_nibhi", "q_extract_nickdim", "q_extract_wolfglob",
-    "q_extract_fengpoly", "q_extract_kuwedge") ++
+    "q_extract_fengpoly", "q_extract_kuwedge", "q_extract_colflow") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(
@@ -178,6 +178,19 @@ object PipelineQueries {
     val pages = PageSource.rulePages(spark, corpus, RegN)
     hashShape(ExtractJob.extract(pages, Extract.Config(classifier = ccfg)).toDF())
       .orderBy("url")
+  }
+
+  /** rotate wired end-to-end (rotate.cpp:35-72 via Rotate.tableRuns, r4):
+    * column-flow layout tables linearized by the exact 90° grid transpose.
+    * Without Config(rotate=90, rotateCols=3) every page extracts in the
+    * wrong (row-major interleaved) order — RotatePipelineSpec pins the
+    * discrimination; the golden is anchored to generator ground truth by
+    * GoldenParquet's refuse-gate.
+    */
+  def qExtractColflow(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.rulePages(spark, "colflow", RegN)
+    hashShape(ExtractJob.extract(pages,
+      Extract.Config(rotate = 90, rotateCols = 3)).toDF()).orderBy("url")
   }
 
   /** findAngle + rotate(−angle) over the over-wrapped corpus (deskew.cpp:

@@ -57,3 +57,42 @@ class GroundTruthVariantsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** rotate wired into the pipeline (VERDICT r3 item 4; rotate.cpp:35-72 via
+  * Rotate.tableRuns): on the colflow corpus — column-flow layout tables
+  * emitted row-major by the DOM — extraction is WRONG on every page
+  * without the 90° grid linearization and byte-identical to generator
+  * ground truth with it (the q_extract_overwrap discrimination pattern).
+  */
+class RotatePipelineSpec extends AnyFunSuite {
+
+  private val N = 60
+  private val on = Extract.Config(rotate = 90, rotateCols = 3)
+
+  test("colflow: rotate=90/cols=3 recovers ground truth on every page") {
+    val bad = FixtureGen.colflow(N)
+      .count(f => Extract(f.page, on).extracted_text != f.expected)
+    assert(bad == 0, s"$bad/$N mismatched with rotate on")
+  }
+
+  test("colflow: WITHOUT rotate the row-major interleaving is wrong on every page") {
+    val bad = FixtureGen.colflow(N)
+      .count(f => Extract(f.page).extracted_text != f.expected)
+    assert(bad == N, s"only $bad/$N mismatched without rotate — corpus too easy")
+  }
+
+  test("rotate touches ONLY table-cell runs; non-table pages are byte-identical under it") {
+    val bad = FixtureGen.fixtures(40)
+      .count(f => Extract(f.page, on).extracted_text != Extract(f.page).extracted_text)
+    assert(bad == 0, s"$bad/40 standard (table-free) pages changed under rotate config")
+  }
+
+  test("ragged colflow grids keep every cell exactly once") {
+    // ~1/3 of pages have a ragged last row; rotate must never drop or pad
+    FixtureGen.colflow(N).foreach { f =>
+      val got = Extract(f.page, on).extracted_text
+      assert(got.split('\n').sorted.toSeq == f.expected.split('\n').sorted.toSeq,
+        s"cell multiset mismatch for ${f.page.url}")
+    }
+  }
+}
