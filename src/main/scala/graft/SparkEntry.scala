@@ -72,6 +72,7 @@ object SparkEntry {
     "q_sessionize" -> (R.qSessionize _),
     // §2.5/§2.2 smoothing & variance map
     "q_kuwahara" -> (R.qKuwahara _),
+    "q_kuwahara_aniso" -> (R.qKuwaharaAniso _),
     "q_sharpen" -> (R.qSharpen _),
     "q_variance_map" -> (R.qVarianceMap _),
     // §2.6 skeleton profile + fingerprinting

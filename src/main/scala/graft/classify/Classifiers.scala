@@ -232,10 +232,20 @@ object Classifiers {
           i += 1
         }
       case "kuwahara" =>
-        // 1-D anisotropic Kuwahara (kuwaharaFilter.cpp:138-172): two sectors
-        // (left, right), take the mean of the LOWER-VARIANCE sector as the
-        // smoothed signal, then MEAN_C threshold on it. Edge-preserving:
-        // windows do not blur across content/boilerplate boundaries.
+        // FULL 1-D anisotropic Kuwahara (kuwaharaFilter.cpp:34-125,174-234
+        // via graft.classify.Kuwahara, r4): coherence-shrunk multi-scale
+        // radially-weighted sectors, min-variance sector's weighted mean,
+        // then MEAN_C threshold on the edge-preserving smooth. Robust where
+        // the two-sector pick is not: a bright outlier inside the uniform
+        // side no longer forces the contaminated far statistics on the
+        // whole side (KuwaharaAnisoSpec pins the discriminating fixture).
+        val sm = Kuwahara.filter(x, w / 2, cfg.maskedStats)
+        var i = 0
+        while (i < n) { t(i) = sm(i) - cfg.c; i += 1 }
+      case "kuwahara2" =>
+        // legacy two-sector pick (kuwaharaFilter.cpp:138-172's isotropic
+        // sectoring reduced to left/right halves) — kept as the r3 baseline
+        // the anisotropic version is measured against
         val half = w / 2
         val sm = new Array[Double](n)
         var i = 0

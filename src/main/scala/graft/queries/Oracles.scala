@@ -732,6 +732,79 @@ object Oracles {
     "q_event_windows" ->
       """SELECT event_type, cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket""".stripMargin,
+
+    "q_kuwahara_aniso" -> kuwaharaAnisoSql
   )
+
+  /** FULL 1-D anisotropic Kuwahara at half=4 (mirrors
+    * RelationalQueries.qKuwaharaAniso term-for-term; generated so the
+    * integer Epanechnikov weights w(len,d) = len²+1−d² and the sector scan
+    * order cannot drift between the two sides).
+    */
+  private def kuwaharaAnisoSql: String = {
+    def wgt(len: Int, d: Int): Int = len * len + 1 - d * d
+    // per-side per-length integer sums over existing neighbors
+    val sums = (for (side <- Seq("l", "r"); len <- 1 to 4) yield {
+      def t(expr: Int => String) = (1 to len)
+        .map(k => s"CASE WHEN $side$k IS NULL THEN 0 ELSE ${expr(k)} END")
+        .mkString(" + ")
+      val ws = s"${wgt(len, 0)} + ${t(k => s"${wgt(len, k)}")} AS ws_$side$len"
+      val wx = s"CAST(n_chars AS BIGINT) * ${wgt(len, 0)} + ${t(k => s"CAST($side$k AS BIGINT) * ${wgt(len, k)}")} AS wx_$side$len"
+      val wq = s"CAST(n_chars AS BIGINT) * n_chars * ${wgt(len, 0)} + ${t(k => s"CAST($side$k AS BIGINT) * $side$k * ${wgt(len, k)}")} AS wq_$side$len"
+      Seq(ws, wx, wq)
+    }).flatten.mkString(",\n    ")
+    def pick(pre: String, side: String, lenCol: String) =
+      s"CASE $lenCol WHEN 4 THEN ${pre}_${side}4 WHEN 3 THEN ${pre}_${side}3 " +
+        s"WHEN 2 THEN ${pre}_${side}2 ELSE ${pre}_${side}1 END"
+    val sectors = Seq(("fl", "l", "heff"), ("nl", "l", "hnear"),
+      ("nr", "r", "hnear"), ("fr", "r", "heff"))
+    val means = sectors.map { case (tag, side, lc) =>
+      s"CAST(${pick("wx", side, lc)} AS DOUBLE) / ${pick("ws", side, lc)} AS m_$tag"
+    }.mkString(",\n    ")
+    val vars = sectors.map { case (tag, side, lc) =>
+      s"CAST(${pick("wq", side, lc)} AS DOUBLE) / ${pick("ws", side, lc)} - m_$tag * m_$tag AS v_$tag"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, n_chars,
+       |    lag(n_chars, 1) OVER w AS l1, lag(n_chars, 2) OVER w AS l2,
+       |    lag(n_chars, 3) OVER w AS l3, lag(n_chars, 4) OVER w AS l4,
+       |    lead(n_chars, 1) OVER w AS r1, lead(n_chars, 2) OVER w AS r2,
+       |    lead(n_chars, 3) OVER w AS r3, lead(n_chars, 4) OVER w AS r4,
+       |    coalesce(lag(n_chars, 1) OVER w, n_chars) + n_chars
+       |      + coalesce(lead(n_chars, 1) OVER w, n_chars) AS s3
+       |  FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+       |grad AS (
+       |  SELECT *, coalesce(lead(s3, 1) OVER w, s3) - coalesce(lag(s3, 1) OVER w, s3) AS g
+       |  FROM base WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+       |coh AS (
+       |  SELECT *, sum(g) OVER w4 AS gs, sum(abs(g)) OVER w4 AS ga
+       |  FROM grad WINDOW w4 AS (PARTITION BY source ORDER BY doc_id
+       |                          ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)),
+       |aniso AS (
+       |  SELECT *,
+       |    greatest(2, CAST(floor(4.0 / (1.0 + CASE WHEN ga > 0
+       |      THEN CAST(abs(gs) AS DOUBLE) / ga ELSE 0.0 END)) AS INTEGER)) AS heff
+       |  FROM coh),
+       |hn AS (SELECT *, CASE WHEN heff >= 4 THEN 2 ELSE 1 END AS hnear FROM aniso),
+       |sums AS (
+       |  SELECT *,
+       |    $sums
+       |  FROM hn),
+       |means AS (
+       |  SELECT *,
+       |    $means
+       |  FROM sums),
+       |vs AS (
+       |  SELECT *,
+       |    $vars
+       |  FROM means)
+       |SELECT doc_id, heff,
+       |  round(CASE
+       |    WHEN v_fl <= v_nl AND v_fl <= v_nr AND v_fl <= v_fr THEN m_fl
+       |    WHEN v_nl <= v_nr AND v_nl <= v_fr THEN m_nl
+       |    WHEN v_nr <= v_fr THEN m_nr
+       |    ELSE m_fr END, 4) AS kwa
+       |FROM vs ORDER BY doc_id""".stripMargin
+  }
 }

@@ -463,8 +463,79 @@ object RelationalQueries {
       .orderBy("vec_id")
   }
 
-  /** 1-D anisotropic Kuwahara smoothing (kuwaharaFilter.cpp:138-172): mean
-    * of the lower-variance sector (left vs right window) — edge-preserving.
+  /** FULL 1-D anisotropic Kuwahara (kuwaharaFilter.cpp:34-125,174-234 via
+    * graft.classify.Kuwahara, r4) replayed relationally at half=4: 3-tap
+    * replicate smooth → gradient coherence A → hEff = max(2, ⌊4/(1+A)⌋) →
+    * four integer-Epanechnikov-weighted sectors (two sides × two scales) →
+    * min-variance sector's weighted mean. Every intermediate sum is an
+    * integer (the float-parity recipe), so the DuckDB oracle is
+    * bit-identical. Emits hEff (the measured anisotropy shrink) and the
+    * smoothed level.
+    */
+  def qKuwaharaAniso(spark: SparkSession, dir: String): DataFrame = {
+    // Epanechnikov radial weights w(len, d) = len^2 + 1 - d^2
+    def wgt(len: Int, dd: Int): Int = len * len + 1 - dd * dd
+    var d = docs(spark, dir)
+    for (k <- 1 to 4)
+      d = d.withColumn(s"l$k", lag($c("n_chars"), k).over(seqW))
+        .withColumn(s"r$k", lead($c("n_chars"), k).over(seqW))
+    d = d.withColumn("s3",
+      coalesce($c("l1"), $c("n_chars")) + $c("n_chars") + coalesce($c("r1"), $c("n_chars")))
+    d = d.withColumn("g",
+      coalesce(lead($c("s3"), 1).over(seqW), $c("s3")) -
+        coalesce(lag($c("s3"), 1).over(seqW), $c("s3")))
+    val w4 = seqW.rowsBetween(-4, 4)
+    d = d.withColumn("gs", sum($c("g")).over(w4))
+      .withColumn("ga", sum(abs($c("g"))).over(w4))
+      .withColumn("a",
+        when($c("ga") > 0, abs($c("gs")).cast("double") / $c("ga")).otherwise(lit(0.0)))
+      .withColumn("heff",
+        greatest(lit(2), floor(lit(4.0) / (lit(1.0) + $c("a"))).cast("int")))
+      .withColumn("hnear", when($c("heff") >= 4, lit(2)).otherwise(lit(1)))
+    // per-side, per-length integer sector sums (missing neighbors skipped)
+    def nb(side: String, k: Int) = $c(s"$side$k")
+    for (side <- Seq("l", "r"); len <- 1 to 4) {
+      def term(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        (1 to len).map(k =>
+          when(nb(side, k).isNull, lit(0L)).otherwise(f(nb(side, k)).cast("long") * wgt(len, k)))
+          .reduce(_ + _)
+      d = d
+        .withColumn(s"ws_$side$len",
+          lit(wgt(len, 0).toLong) + term(c => lit(1)).cast("long"))
+        .withColumn(s"wx_$side$len",
+          $c("n_chars").cast("long") * wgt(len, 0) + term(c => c))
+        .withColumn(s"wq_$side$len",
+          $c("n_chars").cast("long") * $c("n_chars") * wgt(len, 0) + term(c => c * c))
+    }
+    def pickLen(side: String, pre: String, lenCol: org.apache.spark.sql.Column) =
+      when(lenCol === 4, $c(s"${pre}_$side" + "4"))
+        .when(lenCol === 3, $c(s"${pre}_$side" + "3"))
+        .when(lenCol === 2, $c(s"${pre}_$side" + "2"))
+        .otherwise($c(s"${pre}_$side" + "1"))
+    // sector stats in reference scan order: farL, nearL, nearR, farR
+    val sectors = Seq(
+      ("fl", "l", $c("heff")), ("nl", "l", $c("hnear")),
+      ("nr", "r", $c("hnear")), ("fr", "r", $c("heff")))
+    for ((tag, side, lenCol) <- sectors) {
+      val ws = pickLen(side, "ws", lenCol)
+      val wx = pickLen(side, "wx", lenCol)
+      val wq = pickLen(side, "wq", lenCol)
+      d = d.withColumn(s"m_$tag", wx.cast("double") / ws)
+        .withColumn(s"v_$tag",
+          wq.cast("double") / ws - ($c(s"m_$tag") * $c(s"m_$tag")))
+    }
+    d = d.withColumn("kwa",
+      when($c("v_fl") <= $c("v_nl") && $c("v_fl") <= $c("v_nr") && $c("v_fl") <= $c("v_fr"), $c("m_fl"))
+        .when($c("v_nl") <= $c("v_nr") && $c("v_nl") <= $c("v_fr"), $c("m_nl"))
+        .when($c("v_nr") <= $c("v_fr"), $c("m_nr"))
+        .otherwise($c("m_fr")))
+    d.select($c("doc_id"), $c("heff"), round($c("kwa"), 4).as("kwa"))
+      .orderBy("doc_id")
+  }
+
+  /** Two-sector Kuwahara baseline (kuwaharaFilter.cpp:138-172 reduced to
+    * left/right halves — the r3 simplification, kept as `kuwahara2`): mean
+    * of the lower-variance sector — edge-preserving.
     */
   def qKuwahara(spark: SparkSession, dir: String): DataFrame = {
     val lw = seqW.rowsBetween(-4, 0)

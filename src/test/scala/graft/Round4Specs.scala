@@ -58,6 +58,71 @@ class GroundTruthVariantsSpec extends AnyFunSuite {
   }
 }
 
+/** Full 1-D anisotropic Kuwahara (VERDICT r3 item 7; kuwaharaFilter.cpp:
+  * 34-125,174-234 via graft.classify.Kuwahara): coherence-shrunk
+  * multi-scale radially-weighted sectors, min-variance pick. The
+  * discriminating fixture: a bright/dim content edge with a 2-block bright
+  * outlier (inline promo) INSIDE the dim run — the two-sector rule's right
+  * sector absorbs the outlier at full weight, its variance loses to the
+  * bright side, and the edge block takes the BRIGHT side's mean (threshold
+  * above the dim level → content dropped: smoothing across the edge). The
+  * sectored version's near-right sector radially down-weights the deep
+  * outlier and wins with an almost-pure dim mean → the edge survives.
+  */
+class KuwaharaAnisoSpec extends AnyFunSuite {
+
+  import graft.classify.Kuwahara
+
+  private val aniso = Classifiers.Config(kind = "kuwahara")
+  private val twoSector = Classifiers.Config(kind = "kuwahara2")
+
+  // 9 bright, 10 dim, 2-block bright outlier, 10 dim
+  private val sig: Array[Double] =
+    (Array.fill(9)(255.0) ++ Array.fill(10)(135.0) ++
+      Array.fill(2)(255.0) ++ Array.fill(10)(135.0))
+  private val dimIdx = (9 until 19) ++ (21 until 31)
+
+  test("two-sector smooths across the edge: first dim block thresholded above its level") {
+    val t = Classifiers.thresholds(sig, twoSector)
+    assert(t(9) > 135.0,
+      s"expected the two-sector rule to drop the edge dim block, t(9)=${t(9)}")
+  }
+
+  test("anisotropic sectors preserve the edge the two-sector rule loses") {
+    val ta = Classifiers.thresholds(sig, aniso)
+    val t2 = Classifiers.thresholds(sig, twoSector)
+    // the edge block itself: two-sector drops, aniso keeps
+    assert(t2(9) > 135.0 && ta(9) < 135.0,
+      s"edge block: two-sector t=${t2(9)}, aniso t=${ta(9)}")
+    // deep dim blocks on both sides of the outlier survive under aniso
+    (Seq(9, 10) ++ (25 until 31)).foreach { i =>
+      assert(ta(i) < 135.0, s"aniso dropped dim block $i: t=${ta(i)}")
+    }
+    // and aniso keeps strictly more of the dim run than two-sector overall
+    val keptA = dimIdx.count(i => ta(i) < 135.0)
+    val kept2 = dimIdx.count(i => t2(i) < 135.0)
+    assert(keptA > kept2, s"aniso kept $keptA dims, two-sector kept $kept2")
+    // the bright run survives too (mean-c of any sector <= 255 - c)
+    (0 until 9).foreach(i => assert(ta(i) < 255.0))
+  }
+
+  test("constant signal is a fixpoint of the filter (all sectors agree)") {
+    val x = Array.fill(40)(200.0)
+    assert(Kuwahara.filter(x, 31).forall(_ == 200.0))
+    assert(Kuwahara.filter(Array.empty[Double], 31).isEmpty)
+    assert(Kuwahara.filter(Array(7.0), 31).toSeq == Seq(7.0))
+  }
+
+  test("coherence shrinks the sampling support at a monotone edge") {
+    // pure step: coherence A = 1 in the interior -> hEff = half/2; the
+    // filtered level on each side must come from that side alone
+    val x = Array.fill(16)(255.0) ++ Array.fill(16)(64.0)
+    val f = Kuwahara.filter(x, 8)
+    assert(f(15) == 255.0, s"last bright took ${f(15)}")
+    assert(f(16) == 64.0, s"first dim took ${f(16)}")
+  }
+}
+
 /** rotate wired into the pipeline (VERDICT r3 item 4; rotate.cpp:35-72 via
   * Rotate.tableRuns): on the colflow corpus — column-flow layout tables
   * emitted row-major by the DOM — extraction is WRONG on every page
