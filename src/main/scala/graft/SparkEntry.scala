@@ -117,6 +117,11 @@ object SparkEntry {
     "q_extract_fengpoly" -> (PipelineQueries.qExtractRuleCorpus("fengpoly") _),
     "q_extract_kuwedge" -> (PipelineQueries.qExtractRuleCorpus("kuwedge") _),
     "q_extract_colflow" -> (PipelineQueries.qExtractColflow _),
+    "q_extract_meanc" -> (PipelineQueries.qExtractRuleCorpus("meanc") _),
+    "q_extract_otsubi" -> (PipelineQueries.qExtractRuleCorpus("otsubi") _),
+    "q_extract_mokedge" -> (PipelineQueries.qExtractRuleCorpus("mokedge") _),
+    "q_extract_gausstail" -> (PipelineQueries.qExtractRuleCorpus("gausstail") _),
+    "q_extract_gausstail_g" -> (PipelineQueries.qExtractGausstailG _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_clahe" -> (PipelineQueries.qExtractClahe _),

@@ -839,6 +839,124 @@ object FixtureGen {
   def kuwedgeFixture(id: Long, seed: Long = 42L): Fixture =
     ruleFixture("kuwedge", id, seed)(genKuwedge)
 
+  // ---- second wave of threshold-rule ground truth (r4): the global-rule
+  // and window-shape kinds (meanadaptive / otsu / mokji / agt+gauss).
+  //
+  //  - "meanc" (binarizePureAdaptive MEAN_C): a PERFECTLY UNIFORM content
+  //    page — 10 exact-200 paragraphs. m = 200, s = 0 exactly, so the −c
+  //    offset is the entire decision: meanadaptive keeps everything
+  //    (t = 190); niblack's t = m + k·0 = 200 fails the strict x > t on its
+  //    own mean and DROPS THE WHOLE PAGE. (wolfjolion survives: with s = 0
+  //    everywhere sMax clamps to 1e-9 and t degrades to 0.8m.) The constant
+  //    offset below the mean is the rule's reason to exist.
+  //  - "otsubi" (THRESH_OTSU document scope): a BIMODAL content page —
+  //    6 saturated + 6 exact-180 paragraphs + zero-signal chrome. The
+  //    global histogram's dominant valley separates chrome from content
+  //    (ω₀ω₁(μ₀−μ₁)²: split-at-chrome 3.4M vs split-inside-content 2.0M),
+  //    so Otsu keeps BOTH content bands; every m-anchored rule puts t
+  //    between the bands (masked m = 217.5: meanadaptive 207.5, sauvola
+  //    186.8, niblack 225, wolf 217.5) and drops the 180 band.
+  //  - "mokedge" (binarizeMokji): the threshold comes ONLY from edge pairs
+  //    (|nbrMax − x| ≥ 20): nav→255 (127.5), 255→110 (182.5), 110→0 (55)
+  //    ⇒ t = 730/6 = 121.67 REGARDLESS of run length. A 100-block teaser
+  //    run at exact 110 is dropped globally (margin 11.7), while the
+  //    window rules see all-teaser windows deep in the run (masked m =
+  //    110 ⇒ meanadaptive t = 100, sauvola t = 88) and KEEP the far
+  //    teasers. Global co-occurrence vs local window is the decider.
+  //  - "gausstail" (binarizeAGT / PureAdaptiveGaussian): a far dim aside —
+  //    24 exact-255 articles, a 16-block zero-signal nav gap, then 6
+  //    exact-195 paragraphs. The σ=10 gaussian window at the aside weighs
+  //    the d ≥ 19 articles at ≤ 0.17 (raw gaussian mean ≈ 73 ⇒ t ≈ 63:
+  //    KEEP), while the masked-mean anchors average the same window's
+  //    nonzero blocks at full weight (m = 236: meanadaptive t = 226 drops;
+  //    sauvola t = 199.1 drops). Kadane margin: gap penalty 16 × 60.75 =
+  //    972 < aside sum 1170, so the boundary keeps the aside region.
+  //    (medianmean's RAW uniform mean ≈ 118 also keeps — listed as
+  //    coinciding, not as a rival; the corpus separates gaussian/raw
+  //    windows from masked-m anchors.) Verified under BOTH `agt`
+  //    (q_extract_gausstail) and `gaussadaptive` (q_extract_gausstail_g).
+
+  private def genMeanc(rng: Random): (String, List[String]) = {
+    val paras = List.fill(10)(exactPara(rng, 200))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, paras)
+  }
+
+  private def genOtsubi(rng: Random): (String, List[String]) = {
+    val bright = List.fill(6)(paragraph(rng, 300 + rng.nextInt(120)))
+    val dim = List.fill(6)(exactPara(rng, 180))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    bright.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    dim.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, bright ++ dim)
+  }
+
+  private def genMokedge(rng: Random): (String, List[String]) = {
+    val art = List.fill(4)(paragraph(rng, 300 + rng.nextInt(120)))
+    val teasers = List.fill(100)(exactPara(rng, 110))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    art.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<div class=\"archive-teasers\">")
+    teasers.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</div>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, art)
+  }
+
+  private def genGausstail(rng: Random): (String, List[String]) = {
+    val bright = List.fill(24)(exactPara(rng, 255))
+    val aside = List.fill(6)(exactPara(rng, 195))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    bright.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<nav class=\"mid\">").append(navList(rng, 16)).append("</nav>")
+    sb.append("<aside class=\"related\">")
+    aside.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</aside>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, bright ++ aside)
+  }
+
+  def meancFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("meanc", id, seed)(genMeanc)
+  def otsubiFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("otsubi", id, seed)(genOtsubi)
+  def mokedgeFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("mokedge", id, seed)(genMokedge)
+  def gausstailFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("gausstail", id, seed)(genGausstail)
+
+  def meanc(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(meancFixture(_, seed))
+  def otsubi(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(otsubiFixture(_, seed))
+  def mokedge(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(mokedgeFixture(_, seed))
+  def gausstail(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(gausstailFixture(_, seed))
+
   /** "colflow" corpus (rotate ground truth, rotate.cpp:35-72 via
     * graft.boundary.Rotate, r4): the page's midsection is a
     * tables-for-layout grid — 3 columns × 3-4 rows of full content
@@ -906,6 +1024,10 @@ object FixtureGen {
     case "fengpoly" => fengpolyFixture(id, seed)
     case "kuwedge" => kuwedgeFixture(id, seed)
     case "colflow" => colflowFixture(id, seed)
+    case "meanc" => meancFixture(id, seed)
+    case "otsubi" => otsubiFixture(id, seed)
+    case "mokedge" => mokedgeFixture(id, seed)
+    case "gausstail" => gausstailFixture(id, seed)
     case other => sys.error(s"unknown rule corpus: $other")
   }
 
@@ -933,6 +1055,10 @@ object FixtureGen {
       ("wolfglob", wolfglob(_: Int), Config(kind = "wolfjolion")),
       ("fengpoly", fengpoly(_: Int), Config(kind = "feng")),
       ("kuwedge", kuwedge(_: Int), Config(kind = "kuwahara")),
+      ("meanc", meanc(_: Int), Config(kind = "meanadaptive")),
+      ("otsubi", otsubi(_: Int), Config(kind = "otsu")),
+      ("mokedge", mokedge(_: Int), Config(kind = "mokji")),
+      ("gausstail", gausstail(_: Int), Config(kind = "agt")),
     )
   }
 }

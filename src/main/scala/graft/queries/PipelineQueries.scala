@@ -34,7 +34,9 @@ object PipelineQueries {
     "q_multimodal_mjpeg", "q_extract_fbsect", "q_extract_cocoedge",
     "q_extract_clahe", "q_extract_overwrap",
     "q_extract_nibhi", "q_extract_nickdim", "q_extract_wolfglob",
-    "q_extract_fengpoly", "q_extract_kuwedge", "q_extract_colflow") ++
+    "q_extract_fengpoly", "q_extract_kuwedge", "q_extract_colflow",
+    "q_extract_meanc", "q_extract_otsubi", "q_extract_mokedge",
+    "q_extract_gausstail", "q_extract_gausstail_g") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(
@@ -191,6 +193,15 @@ object PipelineQueries {
     val pages = PageSource.rulePages(spark, "colflow", RegN)
     hashShape(ExtractJob.extract(pages,
       Extract.Config(rotate = 90, rotateCols = 3)).toDF()).orderBy("url")
+  }
+
+  /** gausstail under `gaussadaptive` — agt's twin without the median
+    * pre-smooth; same generator truth, own golden row.
+    */
+  def qExtractGausstailG(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PageSource.rulePages(spark, "gausstail", RegN)
+    hashShape(ExtractJob.extract(pages, Extract.Config(
+      classifier = Classifiers.Config(kind = "gaussadaptive"))).toDF()).orderBy("url")
   }
 
   /** findAngle + rotate(−angle) over the over-wrapped corpus (deskew.cpp:

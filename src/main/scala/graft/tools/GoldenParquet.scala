@@ -71,6 +71,13 @@ object GoldenParquet {
       }
       require(bad == 0, s"REFUSING: $corpus ${ccfg.kind} != ground truth on $bad/140")
     }
+    // gausstail under the gaussadaptive twin (same generator truth)
+    val ggCfg = graft.pipeline.Extract.Config(
+      classifier = graft.classify.Classifiers.Config(kind = "gaussadaptive"))
+    graft.fixtures.FixtureGen.gausstail(140).foreach { f =>
+      if (graft.pipeline.Extract(f.page, ggCfg).extracted_text != f.expected) bad += 1
+    }
+    require(bad == 0, s"REFUSING: gausstail gaussadaptive != ground truth on $bad/140")
     // rotate corpus (r4): column-flow grids under rotate=90/rotateCols=3
     // anchored to generator ground truth (column-major reading order)
     val rotCfg = graft.pipeline.Extract.Config(rotate = 90, rotateCols = 3)
@@ -79,8 +86,9 @@ object GoldenParquet {
     }
     require(bad == 0, s"REFUSING: colflow rotate != ground truth on $bad/140")
     println("double-entry gates green (400 standard + 200 adversarial + " +
-      "140 fbsect + 140 cocoedge + 140 overwrap + 5 x 140 threshold-rule " +
-      "corpora: nibhi/nickdim/wolfglob/fengpoly/kuwedge + 140 colflow)")
+      "140 fbsect + 140 cocoedge + 140 overwrap + 9 x 140 threshold-rule " +
+      "corpora (nibhi/nickdim/wolfglob/fengpoly/kuwedge/meanc/otsubi/" +
+      "mokedge/gausstail) + 140 gausstail-gaussadaptive + 140 colflow)")
     if (mode != "write") return
 
     val spark = SparkSession.builder()

@@ -47,7 +47,23 @@ class GroundTruthVariantsSpec extends AnyFunSuite {
     "kuwedge" -> Seq(Classifiers.Config(kind = "meanadaptive"),
       Classifiers.Config(kind = "sauvola"),
       Classifiers.Config(kind = "niblack")),
+    // (wolfjolion is NOT a meanc rival: with s = 0 everywhere its sMax
+    // clamps to 1e-9 and t degrades to 0.8m — it keeps the uniform page)
+    "meanc" -> Seq(Classifiers.Config(kind = "niblack")),
+    "otsubi" -> Seq(Classifiers.Config(kind = "meanadaptive"),
+      Classifiers.Config(kind = "sauvola"),
+      Classifiers.Config(kind = "wolfjolion")),
+    "mokedge" -> Seq(Classifiers.Config(kind = "meanadaptive"),
+      Classifiers.Config(kind = "sauvola")),
+    "gausstail" -> Seq(Classifiers.Config(kind = "meanadaptive"),
+      Classifiers.Config(kind = "sauvola")),
   )
+
+  test("gausstail also anchors the gaussadaptive kind (agt's twin without the median pre-smooth)") {
+    val bad = FixtureGen.gausstail(N)
+      .count(f => run(f, Classifiers.Config(kind = "gaussadaptive")) != f.expected)
+    assert(bad == 0, s"gausstail under gaussadaptive: $bad/$N mismatched")
+  }
 
   for ((corpus, gen, _) <- FixtureGen.ruleCorpora; rival <- rivals(corpus)) {
     test(s"$corpus: rival ${rival.kind} fails ground truth on >= 90% of pages") {
