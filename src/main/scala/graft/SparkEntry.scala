@@ -122,6 +122,7 @@ object SparkEntry {
     "q_extract_mokedge" -> (PipelineQueries.qExtractRuleCorpus("mokedge") _),
     "q_extract_gausstail" -> (PipelineQueries.qExtractRuleCorpus("gausstail") _),
     "q_extract_gausstail_g" -> (PipelineQueries.qExtractGausstailG _),
+    "q_extract_medspike" -> (PipelineQueries.qExtractRuleCorpus("medspike") _),
     // §2.4 alternative boundary + §2.4 orientation gate + adversarial corpus
     "q_extract_houghsep" -> (PipelineQueries.qExtractHoughSep _),
     "q_extract_clahe" -> (PipelineQueries.qExtractClahe _),

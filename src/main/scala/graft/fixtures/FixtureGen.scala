@@ -876,6 +876,36 @@ object FixtureGen {
   //    windows from masked-m anchors.) Verified under BOTH `agt`
   //    (q_extract_gausstail) and `gaussadaptive` (q_extract_gausstail_g).
 
+  //  - "medspike" (binarizeAT: median → MEAN_C): 8 exact-145 paragraphs
+  //    with ONE saturated spike in the middle. The median-3 pre-smooth
+  //    erases the spike BEFORE the window mean, so medianmean's raw mean
+  //    (zeros included) is ~77 ⇒ t ≈ 67: ALL NINE blocks kept. Without the
+  //    pre-smooth the spike drags the masked mean to 157.2: meanadaptive
+  //    t = 147.2 and niblack t = 164.1 drop the eight 145s and keep only
+  //    the spike. The median stage is the decider.
+  private def genMedspike(rng: Random): (String, List[String]) = {
+    val a1 = List.fill(4)(exactPara(rng, 145))
+    val spike = paragraph(rng, 300 + rng.nextInt(120))
+    val a2 = List.fill(4)(exactPara(rng, 145))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"></head><body>")
+    sb.append("<header><nav>").append(navList(rng, 3)).append("</nav></header>")
+    sb.append("<article>")
+    a1.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("<p>").append(spike).append("</p>")
+    a2.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</article>")
+    sb.append("<footer>").append(navList(rng, 3)).append("</footer>")
+    sb.append("</body></html>")
+    (sb.toString, a1 ++ List(spike) ++ a2)
+  }
+
+  def medspikeFixture(id: Long, seed: Long = 42L): Fixture =
+    ruleFixture("medspike", id, seed)(genMedspike)
+
+  def medspike(n: Int, seed: Long = 42L): IndexedSeq[Fixture] =
+    (0L until n.toLong).map(medspikeFixture(_, seed))
+
   private def genMeanc(rng: Random): (String, List[String]) = {
     val paras = List.fill(10)(exactPara(rng, 200))
     val sb = new StringBuilder
@@ -1028,6 +1058,7 @@ object FixtureGen {
     case "otsubi" => otsubiFixture(id, seed)
     case "mokedge" => mokedgeFixture(id, seed)
     case "gausstail" => gausstailFixture(id, seed)
+    case "medspike" => medspikeFixture(id, seed)
     case other => sys.error(s"unknown rule corpus: $other")
   }
 
@@ -1059,6 +1090,7 @@ object FixtureGen {
       ("otsubi", otsubi(_: Int), Config(kind = "otsu")),
       ("mokedge", mokedge(_: Int), Config(kind = "mokji")),
       ("gausstail", gausstail(_: Int), Config(kind = "agt")),
+      ("medspike", medspike(_: Int), Config(kind = "medianmean")),
     )
   }
 }

@@ -36,7 +36,7 @@ object PipelineQueries {
     "q_extract_nibhi", "q_extract_nickdim", "q_extract_wolfglob",
     "q_extract_fengpoly", "q_extract_kuwedge", "q_extract_colflow",
     "q_extract_meanc", "q_extract_otsubi", "q_extract_mokedge",
-    "q_extract_gausstail", "q_extract_gausstail_g") ++
+    "q_extract_gausstail", "q_extract_gausstail_g", "q_extract_medspike") ++
     variantKinds.map(k => s"q_extract_$k")
 
   def variantKinds: Seq[String] = Seq(

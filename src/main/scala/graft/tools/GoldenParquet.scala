@@ -86,9 +86,9 @@ object GoldenParquet {
     }
     require(bad == 0, s"REFUSING: colflow rotate != ground truth on $bad/140")
     println("double-entry gates green (400 standard + 200 adversarial + " +
-      "140 fbsect + 140 cocoedge + 140 overwrap + 9 x 140 threshold-rule " +
+      "140 fbsect + 140 cocoedge + 140 overwrap + 10 x 140 threshold-rule " +
       "corpora (nibhi/nickdim/wolfglob/fengpoly/kuwedge/meanc/otsubi/" +
-      "mokedge/gausstail) + 140 gausstail-gaussadaptive + 140 colflow)")
+      "mokedge/gausstail/medspike) + 140 gausstail-gaussadaptive + 140 colflow)")
     if (mode != "write") return
 
     val spark = SparkSession.builder()

@@ -57,6 +57,8 @@ class GroundTruthVariantsSpec extends AnyFunSuite {
       Classifiers.Config(kind = "sauvola")),
     "gausstail" -> Seq(Classifiers.Config(kind = "meanadaptive"),
       Classifiers.Config(kind = "sauvola")),
+    "medspike" -> Seq(Classifiers.Config(kind = "meanadaptive"),
+      Classifiers.Config(kind = "niblack")),
   )
 
   test("gausstail also anchors the gaussadaptive kind (agt's twin without the median pre-smooth)") {
