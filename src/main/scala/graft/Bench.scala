@@ -120,9 +120,17 @@ object Bench {
   }
 
   /** One extraction pass; returns (seconds, docs, htmlBytes). */
-  def extractionRun(spark: SparkSession, inputPath: String): (Double, Long, Long) = {
+  def extractionRun(spark: SparkSession, inputPath: String): (Double, Long, Long) =
+    extractionRunFiles(spark, Seq(inputPath))
+
+  /** Same pass over an explicit file list — the SINGLE definition of what a
+    * measured extraction pass is, shared by Bench, LevelBench and
+    * MultiJvmWorker so the tools cannot drift apart (bench-reconciliation
+    * contract).
+    */
+  def extractionRunFiles(spark: SparkSession, paths: Seq[String]): (Double, Long, Long) = {
     import spark.implicits._
-    val pages = spark.read.parquet(inputPath).as[graft.core.PageRow]
+    val pages = spark.read.parquet(paths: _*).as[graft.core.PageRow]
     val t0 = System.nanoTime()
     val agg = ExtractJob.extract(pages)
       .agg(count(lit(1)).as("docs"), sum($"stats.htmlBytes").as("bytes"),
@@ -149,8 +157,9 @@ object Bench {
     */
   def totalBusyJiffies(): Double =
     try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.find(_.startsWith("cpu ")).get
       val f = line.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal ...
       f(1).toDouble + f(2).toDouble + f(3).toDouble +
@@ -165,8 +174,9 @@ object Bench {
     */
   def iowaitJiffies(): Double =
     try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.find(_.startsWith("cpu ")).get
       line.split("\\s+")(5).toDouble
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
@@ -178,9 +188,10 @@ object Bench {
     */
   def selfReadBytes(): Double =
     try {
-      scala.io.Source.fromFile("/proc/self/io").getLines()
-        .find(_.startsWith("read_bytes:")).map(_.split("\\s+")(1).toDouble)
-        .getOrElse(-1.0)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/io")), "UTF-8")
+        .linesIterator.find(_.startsWith("read_bytes:"))
+        .map(_.split("\\s+")(1).toDouble).getOrElse(-1.0)
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   /** Pick spark.sql.files.maxPartitionBytes for a CPU-bound scan over

@@ -395,9 +395,12 @@ object Multimodal {
       val topDown = haveStrf && strfH < 0
       val w = if (haveStrf) strfW else avihW
       val h = if (haveStrf) math.abs(strfH) else avihH
-      if (w <= 0 || h <= 0) return None
+      // dim sanity first: rowBytes itself (w*3) must not wrap either
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
       val rowBytes = (w * 3 + 3) & ~3
-      if (len < rowBytes * h) return None
+      // long product: malformed strf dims (now authoritative) must not wrap
+      // the 32-bit multiply negative and bypass the size guard
+      if (len.toLong < rowBytes.toLong * h) return None
       var sr = 0L; var sg = 0L; var sb = 0L
       var y = 0
       while (y < h) {

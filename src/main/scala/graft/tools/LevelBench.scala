@@ -48,15 +48,24 @@ object LevelBench {
     // loop is fully compiled before the first counted quiet pass
     if (maxWaitS > 0) (1 to 2).foreach(_ => graft.Bench.extractionRun(spark, input))
 
-    // instantaneous co-tenant busy cores over a 2 s probe — unlike the
-    // 1-min loadavg this is NOT polluted by our own just-finished pass, so
-    // consecutive quiet passes are possible inside one window
+    // instantaneous co-tenant busy cores AND iowait cores over a 2 s probe —
+    // unlike the 1-min loadavg this is NOT polluted by our own just-finished
+    // pass, so consecutive quiet passes are possible inside one window. The
+    // hunt gates on the MAX of both axes (r4: a cold-page-cache co-tenant
+    // can saturate disk at <1 busy core — iowait is the only tell).
     def extBusyNow(): Double = {
       val tb = graft.Bench.totalBusyJiffies(); val ob = graft.Bench.ownJiffies()
+      val ib = graft.Bench.iowaitJiffies()
       Thread.sleep(2000)
       val ta = graft.Bench.totalBusyJiffies(); val oa = graft.Bench.ownJiffies()
+      val ia = graft.Bench.iowaitJiffies()
       if (tb < 0 || ta < 0) Double.MaxValue
-      else math.max(0.0, ((ta - tb) - (oa - ob)) / 100.0 / 2.0)
+      else {
+        val ext = math.max(0.0, ((ta - tb) - (oa - ob)) / 100.0 / 2.0)
+        val iow = if (ib < 0 || ia < 0) Double.MaxValue
+          else math.max(0.0, (ia - ib) / 100.0 / 2.0)
+        math.max(ext, iow)
+      }
     }
 
     val huntT0 = System.nanoTime()

@@ -158,6 +158,9 @@ object MultiJvmBench {
         if (!allDone) sys.error(s"[${cfg.name}] pass $pass timeout")
         val ta = graft.Bench.totalBusyJiffies(); val oa = graft.Bench.ownJiffies()
         val wja = pids.map(pidJiffies).sum; val iwa = graft.Bench.iowaitJiffies()
+        // -1 sentinels (unreadable /proc) must not masquerade as quiet
+        val probesOk = tb >= 0 && ta >= 0 && ob >= 0 && oa >= 0 &&
+          iwb >= 0 && iwa >= 0
 
         val recs = cfg.workers.indices.map { id =>
           new String(Files.readAllBytes(ctrl.resolve(s"done_${id}_$pass")), "UTF-8").trim
@@ -175,9 +178,12 @@ object MultiJvmBench {
         val cpuTot = recs.map(field(_, "cpu_s")).sum
         val gcTot = recs.map(field(_, "gc_ms")).sum.toLong
         val walls = recs.map(field(_, "wall_s"))
-        val ext = math.max(0.0, ((ta - tb) - (oa - ob) - (wja - wjb)) / hz / wallAgg)
-        val iow = math.max(0.0, (iwa - iwb) / hz / wallAgg)
-        val quiet = gate._1 < 1.0 && gate._2 < 1.0 && ext < 1.0 && iow < 1.0
+        val ext = if (!probesOk) -1.0
+          else math.max(0.0, ((ta - tb) - (oa - ob) - (wja - wjb)) / hz / wallAgg)
+        val iow = if (!probesOk) -1.0
+          else math.max(0.0, (iwa - iwb) / hz / wallAgg)
+        val quiet = probesOk && gate._1 < 1.0 && gate._2 < 1.0 &&
+          ext >= 0 && ext < 1.0 && iow >= 0 && iow < 1.0
         val line = f"""{"config":"${cfg.name}","pass":$pass,""" +
           f""""jvms":${cfg.workers.length},"threads":${cfg.workers.head.threads},""" +
           f""""heap":"${cfg.workers.head.heap}","wall_agg_s":$wallAgg%.3f,""" +

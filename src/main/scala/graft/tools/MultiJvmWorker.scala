@@ -68,18 +68,9 @@ object MultiJvmWorker {
         .asScala.map(_.getCollectionTime).sum
     }
 
-    def onePass(): (Double, Long, Long) = {
-      import spark.implicits._
-      import org.apache.spark.sql.functions._
-      val pages = spark.read.parquet(paths: _*).as[graft.core.PageRow]
-      val t0 = System.nanoTime()
-      val agg = graft.spark.ExtractJob.extract(pages)
-        .agg(count(lit(1)).as("docs"), sum($"stats.htmlBytes").as("bytes"),
-          sum(length($"extracted_text")).as("textChars"))
-        .collect()(0)
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, agg.getLong(0), agg.getLong(1))
-    }
+    // the shared pass definition — identical measurement across all tools
+    def onePass(): (Double, Long, Long) =
+      graft.Bench.extractionRunFiles(spark, paths.toSeq)
 
     // warmup: 2 slice passes bring C2 + the page cache for this slice up
     onePass(); onePass()

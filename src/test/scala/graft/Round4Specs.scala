@@ -9,10 +9,10 @@ import graft.pipeline.Extract
   * rule's distinctive term is THE deciding factor on its corpus — the rule
   * recovers generator ground truth on every page while a named rival rule
   * (usually the plain window-mean baseline) provably fails on (nearly)
-  * every page. These five corpora join fbsect/cocoedge/overwrap/standard/
-  * adversarial in GoldenParquet's double-entry refuse-gate (10 corpora
-  * total), so the q_extract_<corpus> goldens are anchored to independent
-  * truth, not self-frozen.
+  * every page. These corpora join fbsect/cocoedge/overwrap/standard/
+  * adversarial/colflow in GoldenParquet's double-entry refuse-gate (16
+  * corpora total), so the q_extract_<corpus> goldens are anchored to
+  * independent truth, not self-frozen.
   */
 class GroundTruthVariantsSpec extends AnyFunSuite {
 
