@@ -55,6 +55,21 @@ object Classifiers {
 
   val Default: Config = Config()
 
+  /** Reference-faithful per-kind defaults where the reference's own default
+    * differs in SIGN or STRUCTURE from the family-wide Config default (the
+    * generic k = 0.2 is this domain's positive-k magnitude; the reference
+    * family uses |k| = 0.01 at 8-bit pixel scale). Only NICK differs today:
+    * its reference default is NEGATIVE (binarizeNICK.h:46, -0.01) — the
+    * signature that keeps the threshold slightly below the mean, scaled to
+    * this domain's k magnitude as -0.1 (the nickdim ground-truth corpus
+    * pins the behavior). Every other kind's reference default has the same
+    * sign/shape as the generic Config.
+    */
+  def kindConfig(kind: String): Config = kind match {
+    case "nick" => Config(kind = "nick", k = -0.1)
+    case k => Config(kind = k)
+  }
+
   /** Signal extraction: per-block intensity, SATURATED at 255 — the block
     * sequence is mapped into the reference's own 8-bit intensity domain
     * (CV_8UC1, formatConvert.cpp 8bpp paths; ScaleToRange

@@ -97,9 +97,12 @@ object PipelineQueries {
 
   /** One query per classifier kind — the full §2.3 family breadth exercised
     * on real block sequences, each against its frozen per-kind golden.
+    * Kinds run their reference-faithful defaults (Classifiers.kindConfig —
+    * today that only changes nick to its negative-k reference signature,
+    * binarizeNICK.h:46; r4).
     */
   def classifierVariant(kind: String)(spark: SparkSession, dir: String): DataFrame = {
-    val cfg = Extract.Config(classifier = Classifiers.Config(kind = kind))
+    val cfg = Extract.Config(classifier = Classifiers.kindConfig(kind))
     hashShape(docs(spark, cfg)).drop("status").orderBy("url")
   }
 
