@@ -226,6 +226,27 @@ class KuwaharaAnisoSpec extends AnyFunSuite {
     assert(f(15) == 255.0, s"last bright took ${f(15)}")
     assert(f(16) == 64.0, s"first dim took ${f(16)}")
   }
+
+  test("filter output is always a convex combination of window values (bounds property)") {
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rng.nextInt(60)
+      val x = Array.fill(n)(rng.nextInt(256).toDouble)
+      for (masked <- Seq(true, false); half <- Seq(2, 8, 31)) {
+        val f = Kuwahara.filter(x, half, masked)
+        val nonzero = x.filter(_ > 0)
+        val (lo, hi) =
+          if (masked && nonzero.nonEmpty) (0.0 min nonzero.min, nonzero.max)
+          else if (x.isEmpty) (0.0, 0.0) else (x.min, x.max)
+        f.indices.foreach { i =>
+          assert(f(i) >= lo - 1e-9 && f(i) <= hi + 1e-9,
+            s"out of bounds at $i: ${f(i)} not in [$lo, $hi] (masked=$masked half=$half)")
+        }
+      }
+    }
+    // degenerate shapes never throw
+    assert(Kuwahara.filter(Array(0.0, 0.0, 0.0), 31, masked = true).length == 3)
+  }
 }
 
 /** rotate wired into the pipeline (VERDICT r3 item 4; rotate.cpp:35-72 via
@@ -264,5 +285,29 @@ class RotatePipelineSpec extends AnyFunSuite {
       assert(got.split('\n').sorted.toSeq == f.expected.split('\n').sorted.toSeq,
         s"cell multiset mismatch for ${f.page.url}")
     }
+  }
+
+  test("tableRuns rotates each maximal cell run independently; th counts as a cell") {
+    import graft.boundary.Rotate
+    import graft.core.Block
+    def cell(t: String, i: Int, leaf: String) =
+      Block(s"html/body/table/tr/$leaf", t, 0, t.length, t.length, 1, 0, 0, 5, i)
+    def para(t: String, i: Int) =
+      Block("html/body/p", t, 0, t.length, t.length, 1, 0, 0, 3, i)
+    // two separate 2x2 grids split by a paragraph: each rotates on its own
+    val blocks = Array(
+      cell("a0", 0, "th"), cell("b0", 1, "th"), cell("a1", 2, "td"), cell("b1", 3, "td"),
+      para("mid", 4),
+      cell("c0", 5, "td"), cell("d0", 6, "td"), cell("c1", 7, "td"), cell("d1", 8, "td"))
+    val out = Rotate.tableRuns(blocks, 90, 2)
+    assert(out.map(_.text).toSeq ==
+      Seq("a0", "a1", "b0", "b1", "mid", "c0", "c1", "d0", "d1"),
+      "each run transposed independently, th cells included")
+    assert(out.map(_.idx).toSeq == (0 until 9), "idx rewritten to document order")
+    // single-cell runs and non-cell blocks untouched; cols<=0 and angle=0 are no-ops
+    assert(Rotate.tableRuns(blocks, 0, 2) eq blocks)
+    assert(Rotate.tableRuns(blocks, 90, 0) eq blocks)
+    val single = Array(para("x", 0), cell("only", 1, "td"), para("y", 2))
+    assert(Rotate.tableRuns(single, 90, 3) eq single)
   }
 }
