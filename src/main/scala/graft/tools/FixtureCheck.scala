@@ -43,20 +43,32 @@ object FixtureCheck {
     kindName = kindName.split(':').head
     require(mode != "write" || (kindName == "sauvola" && !naive && !deskew),
       "write mode freezes the DEFAULT-pipeline goldens; refusing a non-default kind")
-    val cfg = Extract.Config(
-      classifier = graft.classify.Classifiers.Config(
-        kind = kindName, morphIters = if (naive) 0 else 2),
-      deskew = deskew)
+    val kindGiven = args.length > 3
     // mode "adv" checks the adversarial corpora; "fbsect"/"cocoedge"/
     // "overwrap" the region-classifier / deskew ground-truth corpora (pass
-    // the matching kind)
+    // the matching kind); any threshold-rule corpus name (nibhi/nickdim/
+    // wolfglob/fengpoly/kuwedge/meanc/otsubi/mokedge/gausstail/medspike)
+    // or "colflow" runs that corpus under its OWN verified config when no
+    // explicit kind is passed (r4)
+    val ruleEntry = FixtureGen.ruleCorpora.find(_._1 == mode)
     val fixtures = mode match {
       case "adv" => FixtureGen.adversarial(n)
       case "fbsect" => FixtureGen.fbsect(n)
       case "cocoedge" => FixtureGen.cocoedge(n)
       case "overwrap" => FixtureGen.overwrap(n)
+      case "colflow" => FixtureGen.colflow(n)
+      case _ if ruleEntry.isDefined => ruleEntry.get._2(n)
       case _ => FixtureGen.fixtures(n)
     }
+    val cfg =
+      if (!kindGiven && ruleEntry.isDefined)
+        Extract.Config(classifier = ruleEntry.get._3)
+      else if (!kindGiven && mode == "colflow")
+        Extract.Config(rotate = 90, rotateCols = 3)
+      else Extract.Config(
+        classifier = graft.classify.Classifiers.Config(
+          kind = kindName, morphIters = if (naive) 0 else 2),
+        deskew = deskew)
     var pass = 0
     val failByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val totalByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
