@@ -77,8 +77,20 @@ object Rotate {
     var i = 0
     while (i < blocks.length) {
       if (isCell(blocks(i))) {
+        // a maximal run additionally SPLITS where the tagPath PREFIX ABOVE
+        // the cell leaf changes between consecutive cells (ADVICE r4): two
+        // layout tables under different wrappers must rotate as separate
+        // grids, not as one concatenated grid under the global geometry.
+        // The leaf itself is excluded so a th header row and td body rows
+        // of the SAME table stay one grid. Two back-to-back sibling tables
+        // with byte-identical cell paths remain one run — the block schema
+        // carries no signal to tell them apart, and the caller-supplied
+        // geometry is authoritative there (exactly as the reference trusts
+        // the caller's angle, rotate.cpp:35-37).
+        val prefix = cellPrefix(blocks(i).tagPath)
         var j = i
-        while (j < blocks.length && isCell(blocks(j))) j += 1
+        while (j < blocks.length && isCell(blocks(j)) &&
+          cellPrefix(blocks(j).tagPath) == prefix) j += 1
         if (j - i > 1) {
           val rot = apply(java.util.Arrays.copyOfRange(blocks, i, j), angle, cols)
           if (out == null) out = blocks.clone()
@@ -89,6 +101,14 @@ object Rotate {
       } else i += 1
     }
     if (out == null) blocks else out
+  }
+
+  /** tagPath with the cell leaf (`td`/`th`) stripped — the table-context
+    * key consecutive cells must share to belong to one grid.
+    */
+  @inline private def cellPrefix(p: String): String = {
+    val cut = p.lastIndexOf('/')
+    if (cut < 0) "" else p.substring(0, cut)
   }
 
   /** The source index read at each output position, for a row-major

@@ -33,12 +33,18 @@ object Quality {
     * fraction of decoded chars that survived into block text. Low values
     * mean tag soup / binary junk.
     */
-  def parseability(decoded: String, blocks: Array[Block]): Double = {
-    if (decoded.isEmpty) return 0.0
+  def parseability(decoded: String, blocks: Array[Block]): Double =
+    parseability(decoded.length, blocks)
+
+  /** Same score from the decoded UTF-16 length alone (the byte fast path
+    * never materializes the decoded string).
+    */
+  def parseability(decodedLen: Int, blocks: Array[Block]): Double = {
+    if (decodedLen == 0) return 0.0
     var textChars = 0L
     var i = 0
     while (i < blocks.length) { textChars += blocks(i).nChars; i += 1 }
-    math.min(1.0, textChars.toDouble / decoded.length)
+    math.min(1.0, textChars.toDouble / decodedLen)
   }
 
   /** Score #2 (LAPV analogue, blurDetection.cpp:50-60): variance of block

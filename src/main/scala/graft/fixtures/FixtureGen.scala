@@ -1082,7 +1082,7 @@ object FixtureGen {
     import graft.classify.Classifiers.Config
     Seq(
       ("nibhi", nibhi(_: Int), Config(kind = "niblack")),
-      ("nickdim", nickdim(_: Int), Config(kind = "nick", k = -0.1)),
+      ("nickdim", nickdim(_: Int), graft.classify.Classifiers.kindConfig("nick")),
       ("wolfglob", wolfglob(_: Int), Config(kind = "wolfjolion")),
       ("fengpoly", fengpoly(_: Int), Config(kind = "feng")),
       ("kuwedge", kuwedge(_: Int), Config(kind = "kuwahara")),

@@ -1,0 +1,700 @@
+package graft.html
+
+import graft.core.Block
+import graft.text.Canon
+import scala.collection.mutable.ArrayBuffer
+
+/** Byte-level HTML → block tokenizer — the UTF-8 fast path of the pipeline
+  * (VERDICT r4 item 1: tokenize is 75% of extraction CPU and the char-path
+  * costs are memory traffic — decode to UTF-16 doubles every load, and each
+  * content block is copied through two StringBuilders before Canon returns).
+  *
+  * This is the integral-image discipline of the reference applied to the
+  * tokenizer itself (binarizeSauvola.cpp:72-90: restate the same computation
+  * so each unit of input is touched a constant small number of times): the
+  * raw page BYTES are scanned once; each block is recorded as a list of
+  * source byte-range segments; and an all-ASCII block — the dominant case —
+  * is canonicalized straight from the source bytes into a reusable char
+  * buffer in ONE fused pass (whitespace collapse + control strip + link-run
+  * char/token counts), producing exactly one String per block.
+  *
+  * SEMANTICS ARE IDENTICAL to [[HtmlTokenizer]] over the decoded text — the
+  * contract is `ByteTokenizer(bytes) == HtmlTokenizer(Decode(bytes).text)`
+  * field-for-field, property-tested across every fixture corpus and a
+  * random-document differential suite (ByteTokenizerSpec). Blocks containing
+  * non-ASCII bytes or non-ASCII entity expansions fall back to materializing
+  * the same intermediate string the char path builds and then run the char
+  * path's own flush logic (NFC handling included), so divergence is
+  * structurally confined to pure-ASCII content where byte == char.
+  *
+  * Offsets: `Block.startOff`/`endOff`/spans are CHAR offsets into the
+  * decoded text (the public contract, core/schema.scala:27). The scanner
+  * maintains the running UTF-16 offset alongside the byte offset — each
+  * non-continuation byte advances it by 1, each 4-byte lead by 2 (surrogate
+  * pair). Eligibility (valid UTF-8, under the char cap) is established by
+  * [[prescan]] before this tokenizer runs; invalid/oversize input takes the
+  * decoded-String path unchanged.
+  */
+object ByteTokenizer {
+
+  /** One fused validation pass: strict UTF-8 validity (same automaton as
+    * Decode.isValidUtf8), decoded UTF-16 length, and the garbage-char count
+    * (U+FFFD + non-whitespace control chars, Quality.garbageRatio's
+    * numerator) — everything the pipeline needs to gate BEFORE tokenizing,
+    * without materializing the decoded string.
+    */
+  final class Prescan(val valid: Boolean, val utf16Len: Int, val garbage: Int)
+
+  def prescan(bytes: Array[Byte], off: Int): Prescan = {
+    var i = off
+    val n = bytes.length
+    var len = 0
+    var bad = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) {
+        // ASCII: garbage = C0 controls that are not whitespace, plus DEL
+        if ((b < 0x20 && !(b >= 9 && b <= 13)) || b == 0x7f) bad += 1
+        len += 1
+        i += 1
+      } else if (b < 0xc2) return new Prescan(false, len, bad)
+      else if (b < 0xe0) { // 2-byte: U+0080..U+07FF
+        if (i + 1 >= n || (bytes(i + 1) & 0xc0) != 0x80)
+          return new Prescan(false, len, bad)
+        val cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+        // C1 controls are garbage except U+0085 (NEL, whitespace per Canon)
+        if (cp <= 0x9f && cp != 0x85) bad += 1
+        len += 1
+        i += 2
+      } else if (b < 0xf0) { // 3-byte: U+0800..U+FFFF minus surrogates
+        if (i + 2 >= n) return new Prescan(false, len, bad)
+        val b1 = bytes(i + 1) & 0xff
+        val b2 = bytes(i + 2) & 0xff
+        val lo = if (b == 0xe0) 0xa0 else 0x80
+        val hi = if (b == 0xed) 0x9f else 0xbf
+        if (b1 < lo || b1 > hi || (b2 & 0xc0) != 0x80)
+          return new Prescan(false, len, bad)
+        if (b == 0xef && b1 == 0xbf && b2 == 0xbd) bad += 1 // U+FFFD
+        len += 1
+        i += 3
+      } else if (b < 0xf5) { // 4-byte: astral, two UTF-16 units, never garbage
+        if (i + 3 >= n) return new Prescan(false, len, bad)
+        val b1 = bytes(i + 1) & 0xff
+        val lo = if (b == 0xf0) 0x90 else 0x80
+        val hi = if (b == 0xf4) 0x8f else 0xbf
+        if (b1 < lo || b1 > hi || (bytes(i + 2) & 0xc0) != 0x80 ||
+          (bytes(i + 3) & 0xc0) != 0x80) return new Prescan(false, len, bad)
+        len += 2
+        i += 4
+      } else return new Prescan(false, len, bad)
+    }
+    new Prescan(true, len, bad)
+  }
+
+  /** Byte-class table for the text-run scan: one load replaces the per-char
+    * branch ladder. 0 ws, 1 visible ASCII, 2 control, 3 '<', 4 '&',
+    * 5/6/7 = 2/3/4-byte UTF-8 lead, 8 continuation (unreachable: input is
+    * pre-validated).
+    */
+  private val CLS: Array[Byte] = {
+    val t = new Array[Byte](256)
+    var b = 0
+    while (b < 256) {
+      t(b) =
+        if (b == '<') 3
+        else if (b == '&') 4
+        else if (b == 32 || (b >= 9 && b <= 13)) 0
+        else if (b > 32 && b < 0x7f) 1
+        else if (b < 0x80) 2 // C0 controls + DEL
+        else if (b >= 0xc2 && b < 0xe0) 5
+        else if (b >= 0xe0 && b < 0xf0) 6
+        else if (b >= 0xf0 && b < 0xf5) 7
+        else 8
+      b += 1
+    }
+    t
+  }
+
+  /** ASCII view over the byte array for entity scanning: entity references
+    * are pure ASCII, and a byte ≥ 0x80 reads as a char 0x80–0xFF which fails
+    * the name/digit classes exactly like the real decoded char would.
+    */
+  private final class AsciiView(bytes: Array[Byte], n: Int) extends CharSequence {
+    def length: Int = n
+    def charAt(i: Int): Char = (bytes(i) & 0xff).toChar
+    def subSequence(s: Int, e: Int): CharSequence = {
+      val sb = new java.lang.StringBuilder(e - s)
+      var i = s
+      while (i < e) { sb.append((bytes(i) & 0xff).toChar); i += 1 }
+      sb
+    }
+    override def toString: String = subSequence(0, n).toString
+  }
+
+  def apply(bytes: Array[Byte], off: Int, caps: HtmlTokenizer.Caps = HtmlTokenizer.DefaultCaps): HtmlTokenizer.Result =
+    new ByteRun(bytes, off, caps).run()
+
+  private final class ByteRun(bytes: Array[Byte], off: Int, caps: HtmlTokenizer.Caps) {
+    private val nB = bytes.length
+    private val view = new AsciiView(bytes, nB)
+    private val blocks = new ArrayBuffer[Block](64)
+    private var truncated = false
+
+    // element stack + flags — identical to the char Run
+    private val stack = new ArrayBuffer[String](32)
+    private val stackFlags = new ArrayBuffer[Int](32)
+    private var anchorDepth = 0
+    private var suppressDepth = 0
+    private var cachedPath: String = ""
+    private var cachedPathValid = true
+    private def currentPath(): String = {
+      if (!cachedPathValid) { cachedPath = stack.mkString("/"); cachedPathValid = true }
+      cachedPath
+    }
+
+    // running UTF-16 offset of the NEXT byte position (relative to the
+    // decoded text, i.e. excluding a BOM)
+    private var cOff = 0
+
+    // ---- per-block segment list (replaces the char Run's StringBuilder).
+    // A segment is either a source byte range [segFrom, segTo) or a decoded
+    // entity (segFrom = -(index into segStr) - 1). segMeta packs
+    // (linkId << 1 | asciiBit). linkId mirrors the char Run's link-run
+    // open/close protocol: one id per beginLinkRun..endLinkRun window.
+    private var segFrom = new Array[Int](32)
+    private var segTo = new Array[Int](32)
+    private var segMeta = new Array[Int](32)
+    private var segN = 0
+    private val segStr = new ArrayBuffer[String](4)
+    private var blockAscii = true
+    private var approxChars = 0 // upper bound on canonical length (buffer sizing)
+
+    private var currentLinkId = 0
+    private var nextLinkId = 0
+
+    private var firstOff = -1
+    private var lastOff = -1
+    private var blockDepth = 0
+    private var blockPath = ""
+    private var pathSet = false
+
+    // reusable canonicalization buffer (fused ASCII flush target)
+    private var charBuf = new Array[Char](1024)
+
+    @inline private def inLink: Boolean = anchorDepth > 0
+
+    private def beginLinkRunIfNeeded(): Unit =
+      if (inLink && currentLinkId == 0) { nextLinkId += 1; currentLinkId = nextLinkId }
+    @inline private def endLinkRunIfOpen(): Unit = currentLinkId = 0
+
+    private def pushSeg(from: Int, to: Int, ascii: Boolean): Unit = {
+      if (segN == segFrom.length) {
+        segFrom = java.util.Arrays.copyOf(segFrom, segN * 2)
+        segTo = java.util.Arrays.copyOf(segTo, segN * 2)
+        segMeta = java.util.Arrays.copyOf(segMeta, segN * 2)
+      }
+      segFrom(segN) = from
+      segTo(segN) = to
+      segMeta(segN) = (currentLinkId << 1) | (if (ascii) 1 else 0)
+      segN += 1
+      if (!ascii) blockAscii = false
+    }
+
+    /** Mirror of sawVisible: capture path/depth at first VISIBLE char. */
+    private def sawVisible(firstC: Int, lastCEnd: Int): Unit = {
+      if (!pathSet) {
+        blockPath = currentPath()
+        blockDepth = stack.length
+        pathSet = true
+      }
+      if (firstOff < 0) firstOff = firstC
+      lastOff = lastCEnd
+    }
+
+    /** Append a source byte run [from, to) (visibility extent pre-scanned,
+      * char coords). Mirrors appendRunScanned.
+      */
+    private def appendRun(from: Int, to: Int, firstC: Int, lastCEnd: Int, ascii: Boolean): Unit = {
+      if (suppressDepth > 0 || to <= from) return
+      beginLinkRunIfNeeded()
+      pushSeg(from, to, ascii)
+      approxChars += to - from
+      if (firstC >= 0) sawVisible(firstC, lastCEnd)
+    }
+
+    /** Append a decoded entity `s` standing for source chars
+      * [srcStartC, srcEndC). Mirrors appendDecoded.
+      */
+    private def appendDecoded(s: String, srcStartC: Int, srcEndC: Int): Unit = {
+      if (suppressDepth > 0) return
+      beginLinkRunIfNeeded()
+      var ascii = true
+      var any = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= 0x80) ascii = false
+        if (!any && !(Canon.isWs(c) || Canon.isStripped(c) || Canon.isControl(c)))
+          any = true
+        i += 1
+      }
+      segStr += s
+      pushSeg(-segStr.length, 0, ascii) // -(idx+1)
+      approxChars += s.length
+      if (any) sawVisible(srcStartC, srcEndC)
+    }
+
+    private def clearBlock(): Unit = {
+      segN = 0
+      segStr.clear()
+      blockAscii = true
+      approxChars = 0
+      currentLinkId = 0
+      firstOff = -1
+      lastOff = -1
+      blockPath = ""
+      blockDepth = 0
+      pathSet = false
+    }
+
+    private def flush(): Unit = {
+      endLinkRunIfOpen()
+      if (segN == 0) { clearBlock(); return }
+      if (blockAscii) flushFusedAscii()
+      else flushViaRaw()
+      clearBlock()
+    }
+
+    /** The hot flush: canonicalize all-ASCII segments straight from the
+      * source bytes in one pass — whitespace runs collapse to one space
+      * (leading/trailing dropped), controls removed — while counting block
+      * tokens and per-link-run canonical chars/tokens with exactly
+      * canonCountAscii's state machine (HtmlTokenizer.canonCountAscii).
+      */
+    private def flushFusedAscii(): Unit = {
+      if (approxChars > charBuf.length)
+        charBuf = new Array[Char](math.max(approxChars, charBuf.length * 2))
+      val buf = charBuf
+      var len = 0
+      var spaces = 0
+      var pendingSpace = false
+      var linkChars = 0
+      var linkTokens = 0
+      var curLink = 0 // link id of the open link-run accumulation, 0 = none
+      var lchars = 0
+      var lspaces = 0
+      var lpending = false
+      def closeLinkRun(): Unit = if (curLink != 0) {
+        linkChars += lchars
+        linkTokens += (if (lchars == 0) 0 else lspaces + 1)
+        curLink = 0
+      }
+      var s = 0
+      while (s < segN) {
+        val meta = segMeta(s)
+        val linkId = meta >>> 1
+        if (linkId != curLink) {
+          closeLinkRun()
+          if (linkId != 0) { curLink = linkId; lchars = 0; lspaces = 0; lpending = false }
+        }
+        val inL = linkId != 0
+        val f = segFrom(s)
+        if (f >= 0) {
+          // source byte range, all ASCII
+          var i = f
+          val e = segTo(s)
+          while (i < e) {
+            val b = bytes(i) & 0xff
+            val cls = CLS(b)
+            if (cls == 0) { // whitespace
+              pendingSpace = true
+              if (inL) lpending = true
+            } else if (cls == 2) { // control: removed
+              ()
+            } else { // visible (includes '<' '&' appended as literals)
+              if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
+              pendingSpace = false
+              if (inL) {
+                if (lpending && lchars > 0) { lspaces += 1; lchars += 1 }
+                lpending = false
+                lchars += 1
+              }
+              buf(len) = b.toChar
+              len += 1
+            }
+            i += 1
+          }
+        } else {
+          // decoded entity (ASCII here by blockAscii)
+          val str = segStr(-f - 1)
+          var i = 0
+          while (i < str.length) {
+            val c = str.charAt(i)
+            if (Canon.isWs(c)) {
+              pendingSpace = true
+              if (inL) lpending = true
+            } else if (Canon.isControl(c) || Canon.isStripped(c)) ()
+            else {
+              if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
+              pendingSpace = false
+              if (inL) {
+                if (lpending && lchars > 0) { lspaces += 1; lchars += 1 }
+                lpending = false
+                lchars += 1
+              }
+              buf(len) = c
+              len += 1
+            }
+            i += 1
+          }
+        }
+        s += 1
+      }
+      closeLinkRun()
+      if (len == 0) return
+      if (blocks.length >= caps.maxBlocks) { truncated = true; return }
+      val text = new String(buf, 0, len)
+      val nTok = spaces + 1
+      blocks += Block(
+        tagPath = blockPath,
+        text = text,
+        startOff = if (firstOff >= 0) firstOff else 0,
+        endOff = if (lastOff >= 0) lastOff else 0,
+        nChars = len,
+        nTokens = nTok,
+        nLinkChars = math.min(linkChars, len),
+        nLinkTokens = math.min(linkTokens, nTok),
+        depth = blockDepth,
+        idx = blocks.length)
+    }
+
+    /** Fallback flush for blocks with non-ASCII content: materialize the
+      * SAME intermediate string + link runs the char Run builds, then run
+      * the char path's flush logic (Canon with NFC, canonCountAscii with
+      * Canon fallback) via the shared builder.
+      */
+    private def flushViaRaw(): Unit = {
+      val raw = new java.lang.StringBuilder(approxChars)
+      val linkRuns = new ArrayBuffer[Long](8)
+      var curLink = 0
+      var runStart = -1
+      var s = 0
+      while (s < segN) {
+        val linkId = segMeta(s) >>> 1
+        if (linkId != curLink) {
+          if (curLink != 0)
+            linkRuns += ((runStart.toLong << 32) | raw.length.toLong)
+          curLink = linkId
+          if (linkId != 0) runStart = raw.length
+        }
+        val f = segFrom(s)
+        if (f >= 0) appendUtf8(raw, f, segTo(s))
+        else raw.append(segStr(-f - 1))
+        s += 1
+      }
+      if (curLink != 0) linkRuns += ((runStart.toLong << 32) | raw.length.toLong)
+      if (raw.length == 0) return
+      val rb = HtmlTokenizer.canonRaw(raw, linkRuns)
+      if (rb != null && blocks.length < caps.maxBlocks) {
+        blocks += Block(
+          tagPath = blockPath,
+          text = rb.text,
+          startOff = if (firstOff >= 0) firstOff else 0,
+          endOff = if (lastOff >= 0) lastOff else 0,
+          nChars = rb.text.length,
+          nTokens = rb.nTokens,
+          nLinkChars = rb.linkChars,
+          nLinkTokens = rb.linkTokens,
+          depth = blockDepth,
+          idx = blocks.length)
+      } else if (rb != null) truncated = true
+    }
+
+    /** Decode valid UTF-8 bytes [from, to) into `sb` (same chars the String
+      * decoder produces — input is pre-validated, no REPLACE cases).
+      */
+    private def appendUtf8(sb: java.lang.StringBuilder, from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        val b = bytes(i) & 0xff
+        if (b < 0x80) { sb.append(b.toChar); i += 1 }
+        else if (b < 0xe0) {
+          sb.append((((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f)).toChar)
+          i += 2
+        } else if (b < 0xf0) {
+          sb.append((((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+            (bytes(i + 2) & 0x3f)).toChar)
+          i += 3
+        } else {
+          val cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+          sb.append(Character.highSurrogate(cp)).append(Character.lowSurrogate(cp))
+          i += 4
+        }
+      }
+    }
+
+    private def pushElem(name: String, anchor: Boolean, suppress: Boolean): Unit = {
+      if (stack.length < caps.maxDepth) {
+        stack += name
+        stackFlags += (if (anchor) 1 else 0) | (if (suppress) 2 else 0)
+        cachedPathValid = false
+        if (anchor) anchorDepth += 1
+        if (suppress) suppressDepth += 1
+      } else truncated = true
+    }
+
+    private def popThrough(name: String): Unit = {
+      var j = stack.length - 1
+      while (j >= 0 && stack(j) != name) j -= 1
+      if (j >= 0) {
+        cachedPathValid = false
+        var k = stack.length - 1
+        while (k >= j) {
+          stack.remove(k)
+          val f = stackFlags.remove(k)
+          if ((f & 1) != 0) anchorDepth = math.max(0, anchorDepth - 1)
+          if ((f & 2) != 0) suppressDepth = math.max(0, suppressDepth - 1)
+          k -= 1
+        }
+      }
+    }
+
+    @inline private def isNameStartB(b: Int): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+    @inline private def isNameCharB(b: Int): Boolean =
+      isNameStartB(b) || (b >= '0' && b <= '9') || b == '-'
+    @inline private def lowerB(b: Int): Int =
+      if (b >= 'A' && b <= 'Z') b + 32 else b
+
+    /** Advance cOff over one byte class (non-continuation = 1 unit, 4-byte
+      * lead = 2) — the char-offset bookkeeping every skip loop shares.
+      */
+    @inline private def unitsOf(b: Int): Int =
+      if ((b & 0xc0) == 0x80) 0 else if (b >= 0xf0 && b < 0xf5) 2 else 1
+
+    /** Scan bytes [from, limit) for ASCII `ch`, advancing cOff; returns the
+      * byte index (cOff = offset AT that index) or -1 (cOff at limit).
+      */
+    private def scanToChar(ch: Int, from: Int): Int = {
+      var i = from
+      while (i < nB) {
+        val b = bytes(i) & 0xff
+        if (b == ch) return i
+        cOff += unitsOf(b)
+        i += 1
+      }
+      -1
+    }
+
+    def run(): HtmlTokenizer.Result = {
+      var i = off
+      while (i < nB && blocks.length < caps.maxBlocks) {
+        val c = bytes(i) & 0xff
+        if (c == '<') {
+          if (i + 3 < nB && bytes(i + 1) == '!' && bytes(i + 2) == '-' && bytes(i + 3) == '-') {
+            // comment: scan for --> counting units
+            cOff += 4 // "<!--"
+            var j = i + 4
+            var end = -1
+            while (end < 0 && j < nB) {
+              if (bytes(j) == '-' && j + 2 < nB && bytes(j + 1) == '-' && bytes(j + 2) == '>')
+                end = j
+              else { cOff += unitsOf(bytes(j) & 0xff); j += 1 }
+            }
+            if (end < 0) i = nB
+            else { cOff += 3; i = end + 3 }
+          } else if (i + 1 < nB && bytes(i + 1) == '!') {
+            cOff += 2
+            val end = scanToChar('>', i + 2)
+            if (end < 0) i = nB else { cOff += 1; i = end + 1 }
+          } else if (i + 1 < nB && bytes(i + 1) == '?') {
+            cOff += 2
+            val end = scanToChar('>', i + 2)
+            if (end < 0) i = nB else { cOff += 1; i = end + 1 }
+          } else if (i + 1 < nB &&
+            (isNameStartB(bytes(i + 1) & 0xff) || bytes(i + 1) == '/')) {
+            val closing = bytes(i + 1) == '/'
+            var j = i + (if (closing) 2 else 1)
+            cOff += (if (closing) 2 else 1)
+            if (closing && (j >= nB || !isNameStartB(bytes(j) & 0xff))) {
+              // `</` not followed by a name: skip to '>'
+              val end = scanToChar('>', j)
+              if (end < 0) i = nB else { cOff += 1; i = end + 1 }
+            } else {
+              val nameStart = j
+              var code = 0L
+              var nameLen = 0
+              while (j < nB && isNameCharB(bytes(j) & 0xff)) {
+                if (nameLen < 11) {
+                  val lc = lowerB(bytes(j) & 0xff)
+                  val v =
+                    if (lc >= 'a' && lc <= 'z') lc - 'a' + 1
+                    else if (lc >= '0' && lc <= '9') lc - '0' + 27
+                    else 37 // '-'
+                  code = (code << 6) | v
+                }
+                nameLen += 1
+                j += 1
+              }
+              cOff += nameLen // name chars are ASCII
+              val info =
+                if (nameLen <= 10) HtmlTokenizer.tagTable.getOrNull(code) else null
+              val name =
+                if (info != null) info.name
+                else {
+                  val nameSb = new java.lang.StringBuilder(nameLen)
+                  var q = nameStart
+                  while (q < nameStart + nameLen) {
+                    nameSb.append(lowerB(bytes(q) & 0xff).toChar); q += 1
+                  }
+                  nameSb.toString
+                }
+              val isBlock = if (info != null) info.block else HtmlTokenizer.blockTags.contains(name)
+              val isVoid = if (info != null) info.void else HtmlTokenizer.voidTags.contains(name)
+              val isRaw = if (info != null) info.rawText else HtmlTokenizer.rawTextTags.contains(name)
+              val isForeign = if (info != null) info.foreign else HtmlTokenizer.foreignRoots.contains(name)
+              val isSuppress = if (info != null) info.suppress else HtmlTokenizer.suppressTags.contains(name)
+              val isAnchor = if (info != null) info.anchor else name == "a"
+              // scan to '>' quote-aware, counting units
+              var selfClose = false
+              var quote = 0
+              var done = false
+              while (j < nB && !done) {
+                val cc = bytes(j) & 0xff
+                if (quote != 0) {
+                  if (cc == quote) quote = 0
+                  cOff += unitsOf(cc); j += 1
+                } else if (cc == '"' || cc == '\'') { quote = cc; cOff += 1; j += 1 }
+                else if (cc == '>') {
+                  selfClose = j > 0 && bytes(j - 1) == '/'
+                  cOff += 1; j += 1; done = true
+                } else { cOff += unitsOf(cc); j += 1 }
+              }
+              if (!done) { i = nB }
+              else {
+                if (isBlock) flush()
+                if (!closing && name == "body" && stack.contains("head"))
+                  popThrough("head")
+                if (closing) { popThrough(name); i = j }
+                else if (isRaw) {
+                  // raw text: skip to the matching close tag (WHATWG end-tag
+                  // rule), counting units through the skipped region
+                  var k = j
+                  var found = -1
+                  while (found < 0 && k < nB) {
+                    if (bytes(k) == '<' && k + 1 < nB && bytes(k + 1) == '/' &&
+                      matchesNameAt(k + 2, name) &&
+                      isRawTextEnd(k + 2 + name.length)) found = k
+                    else { cOff += unitsOf(bytes(k) & 0xff); k += 1 }
+                  }
+                  if (found < 0) i = nB
+                  else {
+                    val end = scanToChar('>', found) // counts from found (the '<')
+                    if (end < 0) i = nB else { cOff += 1; i = end + 1 }
+                  }
+                } else {
+                  if (!isVoid && !(selfClose && isForeign))
+                    pushElem(name, isAnchor, isSuppress)
+                  i = j
+                }
+              }
+            }
+          } else {
+            // literal '<' (visible ASCII)
+            appendRun(i, i + 1, cOff, cOff + 1, ascii = true)
+            cOff += 1
+            i += 1
+          }
+        } else if (c == '&') {
+          val dec = Entities.tryDecode(view, i, nB)
+          if (dec != null) {
+            appendDecoded(dec._1, cOff, cOff + dec._2)
+            cOff += dec._2 // entity source is pure ASCII
+            i += dec._2
+          } else {
+            appendRun(i, i + 1, cOff, cOff + 1, ascii = true)
+            cOff += 1
+            i += 1
+          }
+        } else {
+          // text run up to the next special byte — one fused scan for run
+          // extent, visibility extent (char coords) and ASCII-ness
+          var j = i
+          var firstC = -1
+          var lastCEnd = -1
+          var ascii = true
+          if (suppressDepth > 0) {
+            var scanning = true
+            while (scanning && j < nB) {
+              val b = bytes(j) & 0xff
+              val cls = CLS(b)
+              if (cls == 3 || cls == 4) scanning = false
+              else if (cls <= 2) { cOff += 1; j += 1 }
+              else { cOff += (if (cls == 7) 2 else 1); j += cls - 3 } // 5→2, 6→3, 7→4 bytes
+            }
+          } else {
+            var scanning = true
+            while (scanning && j < nB) {
+              val b = bytes(j) & 0xff
+              val cls = CLS(b)
+              if (cls == 1) { // visible ASCII — dominant branch
+                if (firstC < 0) firstC = cOff
+                lastCEnd = cOff + 1
+                cOff += 1; j += 1
+              } else if (cls == 0 || cls == 2) { cOff += 1; j += 1 }
+              else if (cls == 3 || cls == 4) scanning = false
+              else {
+                ascii = false
+                val blen = cls - 3 // 2, 3 or 4 bytes
+                val units = if (cls == 7) 2 else 1
+                val visible =
+                  if (cls == 7) true // astral: never ws/stripped/control
+                  else {
+                    val cp =
+                      if (cls == 5) ((b & 0x1f) << 6) | (bytes(j + 1) & 0x3f)
+                      else ((b & 0x0f) << 12) | ((bytes(j + 1) & 0x3f) << 6) |
+                        (bytes(j + 2) & 0x3f)
+                    val ch = cp.toChar
+                    !(Canon.isWs(ch) || Canon.isStripped(ch) || Canon.isControl(ch))
+                  }
+                if (visible) {
+                  if (firstC < 0) firstC = cOff
+                  lastCEnd = cOff + units
+                }
+                cOff += units
+                j += blen
+              }
+            }
+          }
+          if (suppressDepth == 0) appendRun(i, j, firstC, lastCEnd, ascii)
+          i = j
+        }
+        if (!inLink) endLinkRunIfOpen()
+      }
+      if (i < nB) truncated = true
+      flush()
+      HtmlTokenizer.Result(blocks.toArray, truncated)
+    }
+
+    /** Case-insensitive ASCII match of `name` at byte position p. */
+    private def matchesNameAt(p: Int, name: String): Boolean = {
+      if (p + name.length > nB) return false
+      var k = 0
+      while (k < name.length) {
+        if (lowerB(bytes(p + k) & 0xff) != name.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+
+    /** WHATWG raw-text end-tag rule on bytes (HtmlTokenizer.isRawTextEndTag). */
+    private def isRawTextEnd(after: Int): Boolean =
+      if (after >= nB) true
+      else {
+        val c = bytes(after) & 0xff
+        c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+          c == '\r' || c == '\f'
+      }
+  }
+}

@@ -179,6 +179,32 @@ object Decode {
     // than CharsetDecoder + CharBuffer.toString, with one copy fewer
     new String(bytes, offset, bytes.length - offset, cs)
 
+  /** Charset-decision prefix of [[apply]] exposed for the byte-level fast
+    * path (ByteTokenizer): when the fixed detection order lands on UTF-8,
+    * returns the content offset (BOM skip) and the label [[apply]] WOULD
+    * produce for valid input — the caller still owes a validity check and
+    * must fall back to [[apply]] when validation fails (REPLACE semantics)
+    * or when another charset is chosen (returned null).
+    */
+  final class Utf8Plan(val offset: Int, val label: String)
+
+  def utf8Plan(bytes: Array[Byte]): Utf8Plan = {
+    if (bytes == null || bytes.isEmpty) return null
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return new Utf8Plan(3, "utf-8-bom")
+    if (bytes.length >= 2 && ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe ||
+      (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)) return null // UTF-16 BOMs
+    sniffMeta(bytes).flatMap(resolveLabel) match {
+      case Some(cs) =>
+        // meta-declared UTF-16 remaps to UTF-8 (see apply), label "meta:utf-8"
+        if (cs == StandardCharsets.UTF_8 || cs == StandardCharsets.UTF_16LE ||
+          cs == StandardCharsets.UTF_16BE) new Utf8Plan(0, "meta:utf-8")
+        else null // windows-1252 family: decoded path
+      case None => new Utf8Plan(0, "utf-8") // label iff validation passes
+    }
+  }
+
   /** Decode page bytes; returns decoded text + the charset label chosen. */
   def apply(bytes: Array[Byte]): Decoded = {
     if (bytes == null || bytes.isEmpty) return Decoded("", "empty")

@@ -46,7 +46,7 @@ object HtmlTokenizer {
   final case class Caps(maxChars: Int = 2000000, maxBlocks: Int = 50000, maxDepth: Int = 256)
   val DefaultCaps: Caps = Caps()
 
-  private val blockTags: Set[String] = Set(
+  private[html] val blockTags: Set[String] = Set(
     "html", "body", "p", "div", "section", "article", "header", "footer",
     "nav", "aside", "main", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol",
     "li", "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
@@ -54,20 +54,20 @@ object HtmlTokenizer {
     "figcaption", "dl", "dt", "dd", "details", "summary", "address", "center",
     "dialog", "menu")
 
-  private val voidTags: Set[String] = Set(
+  private[html] val voidTags: Set[String] = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr")
 
-  private val rawTextTags: Set[String] = Set("script", "style", "textarea", "title")
+  private[html] val rawTextTags: Set[String] = Set("script", "style", "textarea", "title")
 
   // foreign-content roots: the ONLY elements whose self-closing solidus is
   // honored (WHATWG: for HTML elements the trailing '/' is ignored and the
   // element stays open; honoring it generally mis-parses unquoted attribute
   // values ending in '/', e.g. href=http://x/ — which silently dropped the
   // <a> push and corrupted link accounting)
-  private val foreignRoots: Set[String] = Set("svg", "math")
+  private[html] val foreignRoots: Set[String] = Set("svg", "math")
 
-  private val suppressTags: Set[String] = Set(
+  private[html] val suppressTags: Set[String] = Set(
     "head", "noscript", "template", "svg", "iframe", "object", "embed",
     "applet", "audio", "video", "canvas", "select", "datalist")
 
@@ -75,7 +75,7 @@ object HtmlTokenizer {
     * with the name already interned (no per-tag String allocation for any
     * known tag). Unknown/custom tags fall back to the string path.
     */
-  private final class TagInfo(val name: String, val block: Boolean,
+  private[html] final class TagInfo(val name: String, val block: Boolean,
       val void: Boolean, val rawText: Boolean, val suppress: Boolean,
       val foreign: Boolean, val anchor: Boolean)
 
@@ -99,7 +99,7 @@ object HtmlTokenizer {
     code
   }
 
-  private val tagTable: scala.collection.mutable.LongMap[TagInfo] = {
+  private[html] val tagTable: scala.collection.mutable.LongMap[TagInfo] = {
     val m = new scala.collection.mutable.LongMap[TagInfo](256)
     val known = blockTags ++ voidTags ++ rawTextTags ++ suppressTags ++
       foreignRoots ++ Set("a", "span", "em", "strong", "b", "i", "u", "small",
@@ -284,44 +284,20 @@ object HtmlTokenizer {
         pendingFrom = -1
         pendingTo = -1
       } else if (raw.length > 0) {
-        val canon = Canon(raw.toString)
-        if (canon.nonEmpty && blocks.length < caps.maxBlocks) {
-          var linkChars = 0
-          var linkTokens = 0
-          var r = 0
-          while (r < linkRuns.length) {
-            val packed0 = linkRuns(r)
-            val s = (packed0 >>> 32).toInt
-            val e = (packed0 & 0xffffffffL).toInt
-            if (e > s) {
-              // ASCII fast path: count the canonical chars/tokens of the run
-              // without materializing Canon(substring) (same rules; Canon
-              // fallback for non-ASCII where NFC could apply)
-              val packed = canonCountAscii(raw, s, e)
-              if (packed >= 0) {
-                linkChars += (packed >>> 32).toInt
-                linkTokens += (packed & 0xffffffffL).toInt
-              } else {
-                val seg = Canon(raw.substring(s, e))
-                linkChars += seg.length
-                linkTokens += Canon.tokenCount(seg)
-              }
-            }
-            r += 1
-          }
-          val nTok = Canon.tokenCount(canon)
+        val rb = canonRaw(raw, linkRuns)
+        if (rb != null && blocks.length < caps.maxBlocks) {
           blocks += Block(
             tagPath = blockPath,
-            text = canon,
+            text = rb.text,
             startOff = if (firstOff >= 0) firstOff else 0,
             endOff = if (lastOff >= 0) lastOff else 0,
-            nChars = canon.length,
-            nTokens = nTok,
-            nLinkChars = math.min(linkChars, canon.length),
-            nLinkTokens = math.min(linkTokens, nTok),
+            nChars = rb.text.length,
+            nTokens = rb.nTokens,
+            nLinkChars = rb.linkChars,
+            nLinkTokens = rb.linkTokens,
             depth = blockDepth,
             idx = blocks.length)
-        } else if (canon.nonEmpty) truncated = true
+        } else if (rb != null) truncated = true
       }
       raw.setLength(0)
       linkRuns.clear()
@@ -511,6 +487,46 @@ object HtmlTokenizer {
     flush()
     Result(blocks.toArray, truncated)
     }
+  }
+
+  /** Canonicalized view of an accumulated block string + link runs — the
+    * single definition of "raw → Block fields" shared by the char Run and
+    * [[ByteTokenizer]]'s non-ASCII fallback (so the two tokenizers cannot
+    * drift). Returns null when the canonical text is empty.
+    */
+  private[html] final class RawBlock(val text: String, val nTokens: Int,
+      val linkChars: Int, val linkTokens: Int)
+
+  private[html] def canonRaw(raw: java.lang.StringBuilder,
+      linkRuns: scala.collection.mutable.ArrayBuffer[Long]): RawBlock = {
+    val canon = Canon(raw.toString)
+    if (canon.isEmpty) return null
+    var linkChars = 0
+    var linkTokens = 0
+    var r = 0
+    while (r < linkRuns.length) {
+      val packed0 = linkRuns(r)
+      val s = (packed0 >>> 32).toInt
+      val e = (packed0 & 0xffffffffL).toInt
+      if (e > s) {
+        // ASCII fast path: count the canonical chars/tokens of the run
+        // without materializing Canon(substring) (same rules; Canon
+        // fallback for non-ASCII where NFC could apply)
+        val packed = canonCountAscii(raw, s, e)
+        if (packed >= 0) {
+          linkChars += (packed >>> 32).toInt
+          linkTokens += (packed & 0xffffffffL).toInt
+        } else {
+          val seg = Canon(raw.substring(s, e))
+          linkChars += seg.length
+          linkTokens += Canon.tokenCount(seg)
+        }
+      }
+      r += 1
+    }
+    val nTok = Canon.tokenCount(canon)
+    new RawBlock(canon, nTok, math.min(linkChars, canon.length),
+      math.min(linkTokens, nTok))
   }
 
   private def boundedIndexOfChar(s: String, ch: Char, from: Int, limit: Int): Int = {

@@ -115,6 +115,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Recrawl dedup by (url, warc_ts) — the batch max-by-timestamp contract
+    * (SURVEY §2.9): per url keep the row with the greatest warc_ts; equal
+    * timestamps tie-break on md5(html) descending (content-addressed, so
+    * the winner is independent of row order/partitioning). The streaming
+    * twin is ExtractStream.dedupLatest — same comparator, proven
+    * byte-identical through extraction by StreamLatestDedupSpec.
+    *
+    * Scale shape: ONE hash exchange on url + a WindowGroupLimit top-1
+    * (rank over the url window) — never a self-join; html bytes ride the
+    * shuffle once, which is unavoidable for a winner-takes-row semantics.
+    */
+  def latestByUrl(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc, md5(col("html")).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** 60-bit SimHash column over the distinct-token set (near-dup
     * fingerprint; hamming-close simhashes = near-dup texts). 60 bits, not
     * 64: each per-token hash is the first 15 hex chars of md5 — the 16th

@@ -442,8 +442,11 @@ object Multimodal {
           inVideoStrl = bytes(i + 8) == 'v' && bytes(i + 9) == 'i' &&
             bytes(i + 10) == 'd' && bytes(i + 11) == 's'
         } else if (c0 == 's' && c1 == 't' && c2 == 'r' && c3 == 'f' &&
-          len >= 12 && inVideoStrl) {
+          len >= 12 && inVideoStrl && strfW == 0) {
           // BITMAPINFOHEADER: biSize, biWidth, biHeight (signed), ...
+          // Latched on the FIRST video stream only (ADVICE r4): in a
+          // multi-video-stream AVI a later stream's strf must not override
+          // the dims the 00db/00dc frames (stream 0) are decoded with.
           strfW = le32of(bytes, i + 8 + 4)
           strfH = le32of(bytes, i + 8 + 8)
         } else if (isDigit(c0) && isDigit(c1) &&

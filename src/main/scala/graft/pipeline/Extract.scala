@@ -60,6 +60,42 @@ object Extract {
     // 1. decode (never throws; empty → quarantine, SURVEY.md §2.1 guards)
     if (htmlBytes.isEmpty)
       return quarantine(row.url, Status.EmptyHtml, htmlBytes.length, 0, "empty", 0.0)
+    // 1a. UTF-8 byte fast path (VERDICT r4 item 1): when charset detection
+    // lands on UTF-8 and the bytes validate, the garbage gate and the
+    // tokenizer run directly over the bytes (one validation pass + one
+    // tokenize pass, no decoded-String materialization). Semantics are
+    // IDENTICAL to the decoded path — ByteTokenizerSpec holds the
+    // differential equivalence; anything else (cp1252, UTF-16, invalid
+    // UTF-8 needing REPLACE, over-cap docs) falls through to Decode.
+    val plan = graft.html.Decode.utf8Plan(htmlBytes)
+    if (plan != null) {
+      val ps = graft.html.ByteTokenizer.prescan(htmlBytes, plan.offset)
+      if (ps.valid && ps.utf16Len <= cfg.caps.maxChars) {
+        val garbage =
+          if (ps.utf16Len == 0) 0.0 else ps.garbage.toDouble / ps.utf16Len
+        if (garbage > cfg.maxGarbageRatio)
+          return quarantine(row.url, Status.Garbage, htmlBytes.length,
+            ps.utf16Len, plan.label, garbage)
+        val tok = graft.html.ByteTokenizer(htmlBytes, plan.offset, cfg.caps)
+        if (tok.blocks.isEmpty)
+          return quarantine(row.url, Status.NoBlocks, htmlBytes.length,
+            ps.utf16Len, plan.label, garbage)
+        return finish(row, cfg, tok, htmlBytes.length, ps.utf16Len,
+          plan.label, garbage)
+      }
+    }
+    applyDecoded(row, cfg)
+  }
+
+  /** The decoded-String path (the only path before r5) — still the fallback
+    * for every non-UTF-8/invalid/over-cap document, and the reference
+    * semantics the byte path is differentially tested against
+    * (ByteTokenizerSpec asserts apply == applyDecoded on every corpus).
+    */
+  private[graft] def applyDecoded(row: PageRow, cfg: Config = Default): ExtractedDoc = {
+    val htmlBytes = if (row.html == null) Array.emptyByteArray else row.html
+    if (htmlBytes.isEmpty)
+      return quarantine(row.url, Status.EmptyHtml, htmlBytes.length, 0, "empty", 0.0)
     val dec = Decode(htmlBytes)
     val garbage = Quality.garbageRatio(dec.text)
     if (garbage > cfg.maxGarbageRatio)
@@ -70,6 +106,16 @@ object Extract {
     if (tok.blocks.isEmpty)
       return quarantine(row.url, Status.NoBlocks, htmlBytes.length, dec.text.length,
         dec.charset, garbage)
+    finish(row, cfg, tok, htmlBytes.length, dec.text.length, dec.charset, garbage)
+  }
+
+  /** Steps 2a–6 (rotate → deskew → classify → artifacts → boundary →
+    * assemble) — shared verbatim by the byte and decoded paths; everything
+    * past tokenization sees only the Block array.
+    */
+  private def finish(row: PageRow, cfg: Config, tok: HtmlTokenizer.Result,
+      htmlByteLen: Int, decodedChars: Int, charset: String,
+      garbage: Double): ExtractedDoc = {
     // 2a. rotate (opt-in, caller-given geometry): linearize column-flow
     // layout tables BEFORE any order-sensitive stage — downstream windows,
     // regions and the boundary crop must see reading order
@@ -113,11 +159,11 @@ object Extract {
         angle = angle,
         nBlocks = tok.blocks.length,
         nKept = kept,
-        htmlBytes = htmlBytes.length,
-        decodedChars = dec.text.length,
-        charset = dec.charset,
+        htmlBytes = htmlByteLen.toLong,
+        decodedChars = decodedChars,
+        charset = charset,
         truncated = tok.truncated,
-        qualityScore = Quality.parseability(dec.text, tok.blocks),
+        qualityScore = Quality.parseability(decodedChars, tok.blocks),
         garbageRatio = garbage))
   }
 

@@ -66,8 +66,11 @@ object FixtureCheck {
       else if (!kindGiven && mode == "colflow")
         Extract.Config(rotate = 90, rotateCols = 3)
       else Extract.Config(
-        classifier = graft.classify.Classifiers.Config(
-          kind = kindName, morphIters = if (naive) 0 else 2),
+        // kind-by-name goes through kindConfig so per-kind reference
+        // defaults (nick's negative k) apply on EVERY entry point, not just
+        // the pipeline queries (ADVICE r4)
+        classifier = graft.classify.Classifiers.kindConfig(kindName)
+          .copy(morphIters = if (naive) 0 else 2),
         deskew = deskew)
     var pass = 0
     val failByCorpus = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)

@@ -51,10 +51,16 @@ object MultiJvmWorker {
         if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
     })
 
-    val files = new java.io.File(inputDir).listFiles()
+    val all = new java.io.File(inputDir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-      .zipWithIndex.collect { case (f, i) if i % sliceM == sliceK => f }
+    val files = all.zipWithIndex.collect { case (f, i) if i % sliceM == sliceK => f }
+    // fail fast with a diagnosable message: an empty slice (corpus has fewer
+    // part-files than sliceM) would otherwise die inside spark.read.parquet
+    // during warmup as an opaque worker-died error (ADVICE r4)
+    require(files.nonEmpty,
+      s"worker $id: slice $sliceK/$sliceM selects 0 of ${all.length} parquet " +
+        s"part-files in $inputDir — corpus must have >= sliceM part-files")
     val sliceBytes = files.map(_.length()).sum
     // auto split sizing scoped to THIS slice and THIS core count (r3 item 6)
     val split = math.max(4L << 20,
