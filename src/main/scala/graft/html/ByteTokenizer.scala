@@ -37,6 +37,33 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ByteTokenizer {
 
+  /** Per-thread reusable buffers (r5 profile: per-document allocation and
+    * ArrayBuffer bookkeeping dominated once the scan loops went SWAR).
+    * Tokenizing now allocates only what escapes — each Block, its text
+    * String, and the result array; stacks, segment lists, the
+    * canonicalization buffer and the tagPath cache live here and are reused
+    * across documents on the same executor thread. The tagPath cache
+    * carries ACROSS documents, keyed per level by (parent-path instance,
+    * tag-name instance) identity: page structure is highly repetitive and
+    * known tag names are shared TagInfo instances, so the per-block path is
+    * almost always a pointer-compare hit instead of a fresh concat.
+    */
+  private final class Scratch {
+    var stackNames = new Array[String](64)
+    var stackFlags = new Array[Int](64)
+    var pathCache = new Array[String](64)
+    var pathName = new Array[String](64)
+    var pathParent = new Array[String](64)
+    var segFrom = new Array[Int](64)
+    var segTo = new Array[Int](64)
+    var segMeta = new Array[Int](64)
+    var segStr = new Array[String](16)
+    var charBuf = new Array[Char](4096)
+    var blockBuf = new Array[Block](128)
+  }
+  private val scratchTL: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   /** One fused validation pass: strict UTF-8 validity (same automaton as
     * Decode.isValidUtf8), decoded UTF-16 length, and the garbage-char count
     * (U+FFFD + non-whitespace control chars, Quality.garbageRatio's
@@ -45,18 +72,50 @@ object ByteTokenizer {
     */
   final class Prescan(val valid: Boolean, val utf16Len: Int, val garbage: Int)
 
+  // ---- SWAR helpers: exact, borrow-free per-byte unsigned compares over an
+  // 8-byte little-endian word (Hacker's Delight §2-17 restated): for lanes
+  // a ≤ 0x7f and n ≤ 0x80, (a | 0x80) - n is in [0x01, 0xFF] so the
+  // subtraction NEVER borrows across lanes, and bit 7 of each lane is an
+  // exact per-lane a ≥ n flag. All masks below are therefore exact (no
+  // false positives), which lets them drive COUNTS (prescan garbage) and
+  // run extents, not just conservative early-outs. Lanes with the high bit
+  // set must be masked to w = v & ~HIGH first and handled via `v & HIGH`.
+  private final val ONES = 0x0101010101010101L
+  private final val HIGH = 0x8080808080808080L
+  @inline private def geMask(w: Long, n: Int): Long = ((w | HIGH) - ONES * n) & HIGH
+  @inline private def ltMask(w: Long, n: Int): Long = ~((w | HIGH) - ONES * n) & HIGH
+  @inline private def eqMask(w: Long, c: Int): Long =
+    ~(((w ^ (ONES * c)) | HIGH) - ONES) & HIGH
+
   def prescan(bytes: Array[Byte], off: Int): Prescan = {
     var i = off
     val n = bytes.length
     var len = 0
     var bad = 0
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bulkEnd = n - 7
     while (i < n) {
       val b = bytes(i) & 0xff
       if (b < 0x80) {
-        // ASCII: garbage = C0 controls that are not whitespace, plus DEL
-        if ((b < 0x20 && !(b >= 9 && b <= 13)) || b == 0x7f) bad += 1
-        len += 1
-        i += 1
+        if (i < bulkEnd) {
+          // 8 bytes at once: k = ASCII prefix length (first byte is ASCII so
+          // k ≥ 1), garbage lanes counted exactly via SWAR masks
+          val v = bb.getLong(i)
+          val high = v & HIGH
+          val w = v & ~HIGH
+          val ws = geMask(w, 9) & ltMask(w, 14) // \t \n \v \f \r
+          val badM = (ltMask(w, 0x20) & ~ws) | eqMask(w, 0x7f)
+          val k = if (high == 0L) 8 else java.lang.Long.numberOfTrailingZeros(high) >>> 3
+          val m = if (k == 8) -1L else (1L << (8 * k)) - 1
+          len += k
+          bad += java.lang.Long.bitCount(badM & m)
+          i += k
+        } else {
+          // tail: garbage = C0 controls that are not whitespace, plus DEL
+          if ((b < 0x20 && !(b >= 9 && b <= 13)) || b == 0x7f) bad += 1
+          len += 1
+          i += 1
+        }
       } else if (b < 0xc2) return new Prescan(false, len, bad)
       else if (b < 0xe0) { // 2-byte: U+0080..U+07FF
         if (i + 1 >= n || (bytes(i + 1) & 0xc0) != 0x80)
@@ -137,19 +196,63 @@ object ByteTokenizer {
   private final class ByteRun(bytes: Array[Byte], off: Int, caps: HtmlTokenizer.Caps) {
     private val nB = bytes.length
     private val view = new AsciiView(bytes, nB)
-    private val blocks = new ArrayBuffer[Block](64)
+    private val scratch = scratchTL.get()
+    private var blockBuf = scratch.blockBuf
+    private var blockN = 0
     private var truncated = false
+    // little-endian word view for the SWAR scan loops (HeapByteBuffer.getLong
+    // is an intrinsic); bulkEnd = last index where a full word fits
+    private val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    private val bulkEnd = nB - 7
 
-    // element stack + flags — identical to the char Run
-    private val stack = new ArrayBuffer[String](32)
-    private val stackFlags = new ArrayBuffer[Int](32)
+    private def addBlock(b: Block): Unit = {
+      if (blockN == blockBuf.length) {
+        blockBuf = java.util.Arrays.copyOf(blockBuf, blockN * 2)
+        scratch.blockBuf = blockBuf
+      }
+      blockBuf(blockN) = b
+      blockN += 1
+    }
+
+    // element stack + flags — semantics identical to the char Run's
+    // ArrayBuffer stack, restated as flat arrays so pops are truncation
+    // (no element shifting) and the <body>-closes-<head> rule reads a
+    // counter instead of an O(depth) boxed contains (both showed up in the
+    // r5 JFR profile).
+    private var stackNames = scratch.stackNames
+    private var stackFlags = scratch.stackFlags
+    private var stackN = 0
     private var anchorDepth = 0
     private var suppressDepth = 0
-    private var cachedPath: String = ""
-    private var cachedPathValid = true
+    private var headDepth = 0
+    // pathCache(d) = stackNames.take(d + 1).mkString("/"); levels
+    // [0, pathValidN) are current for THIS run. Pops only shrink
+    // pathValidN. A level revalidates without a concat when both the parent
+    // path and the name at that level are the SAME INSTANCES that built the
+    // cached entry — true across documents for known tags (shared TagInfo
+    // names) and repeated structure, so the concat only runs on genuinely
+    // new paths.
+    private var pathCache = scratch.pathCache
+    private var pathName = scratch.pathName
+    private var pathParent = scratch.pathParent
+    private var pathValidN = 0
     private def currentPath(): String = {
-      if (!cachedPathValid) { cachedPath = stack.mkString("/"); cachedPathValid = true }
-      cachedPath
+      if (stackN == 0) return ""
+      if (pathValidN < stackN) {
+        var d = pathValidN
+        while (d < stackN) {
+          val nm = stackNames(d)
+          val parent = if (d == 0) null else pathCache(d - 1)
+          if (!((pathName(d) eq nm) && (pathParent(d) eq parent))) {
+            pathCache(d) = if (d == 0) nm else parent + "/" + nm
+            pathName(d) = nm
+            pathParent(d) = parent
+          }
+          d += 1
+        }
+        pathValidN = stackN
+      }
+      pathCache(stackN - 1)
     }
 
     // running UTF-16 offset of the NEXT byte position (relative to the
@@ -161,11 +264,12 @@ object ByteTokenizer {
     // entity (segFrom = -(index into segStr) - 1). segMeta packs
     // (linkId << 1 | asciiBit). linkId mirrors the char Run's link-run
     // open/close protocol: one id per beginLinkRun..endLinkRun window.
-    private var segFrom = new Array[Int](32)
-    private var segTo = new Array[Int](32)
-    private var segMeta = new Array[Int](32)
+    private var segFrom = scratch.segFrom
+    private var segTo = scratch.segTo
+    private var segMeta = scratch.segMeta
     private var segN = 0
-    private val segStr = new ArrayBuffer[String](4)
+    private var segStrA = scratch.segStr
+    private var segStrN = 0
     private var blockAscii = true
     private var approxChars = 0 // upper bound on canonical length (buffer sizing)
 
@@ -179,7 +283,7 @@ object ByteTokenizer {
     private var pathSet = false
 
     // reusable canonicalization buffer (fused ASCII flush target)
-    private var charBuf = new Array[Char](1024)
+    private var charBuf = scratch.charBuf
 
     @inline private def inLink: Boolean = anchorDepth > 0
 
@@ -192,6 +296,9 @@ object ByteTokenizer {
         segFrom = java.util.Arrays.copyOf(segFrom, segN * 2)
         segTo = java.util.Arrays.copyOf(segTo, segN * 2)
         segMeta = java.util.Arrays.copyOf(segMeta, segN * 2)
+        scratch.segFrom = segFrom
+        scratch.segTo = segTo
+        scratch.segMeta = segMeta
       }
       segFrom(segN) = from
       segTo(segN) = to
@@ -204,7 +311,7 @@ object ByteTokenizer {
     private def sawVisible(firstC: Int, lastCEnd: Int): Unit = {
       if (!pathSet) {
         blockPath = currentPath()
-        blockDepth = stack.length
+        blockDepth = stackN
         pathSet = true
       }
       if (firstOff < 0) firstOff = firstC
@@ -233,20 +340,27 @@ object ByteTokenizer {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c >= 0x80) ascii = false
-        if (!any && !(Canon.isWs(c) || Canon.isStripped(c) || Canon.isControl(c)))
-          any = true
+        val invisible = Canon.isWs(c) || Canon.isStripped(c) || Canon.isControl(c)
+        // a non-ASCII expansion only forces the raw/NFC flush when VISIBLE
+        // (nbsp & friends collapse to ASCII before NFC could matter)
+        if (c >= 0x80 && !invisible) ascii = false
+        if (!any && !invisible) any = true
         i += 1
       }
-      segStr += s
-      pushSeg(-segStr.length, 0, ascii) // -(idx+1)
+      if (segStrN == segStrA.length) {
+        segStrA = java.util.Arrays.copyOf(segStrA, segStrN * 2)
+        scratch.segStr = segStrA
+      }
+      segStrA(segStrN) = s
+      segStrN += 1
+      pushSeg(-segStrN, 0, ascii) // -(idx+1)
       approxChars += s.length
       if (any) sawVisible(srcStartC, srcEndC)
     }
 
     private def clearBlock(): Unit = {
       segN = 0
-      segStr.clear()
+      segStrN = 0
       blockAscii = true
       approxChars = 0
       currentLinkId = 0
@@ -272,8 +386,72 @@ object ByteTokenizer {
       * canonCountAscii's state machine (HtmlTokenizer.canonCountAscii).
       */
     private def flushFusedAscii(): Unit = {
-      if (approxChars > charBuf.length)
+      // Verbatim fast path: a single source-range segment whose trimmed
+      // interior is pure [0x20..0x7E] with no double spaces IS its own
+      // canonical form — the text is a straight Latin1 byte→String copy
+      // (an intrinsic memcpy) and every count falls out of the SWAR masks,
+      // skipping the per-byte state machine entirely. Any violation falls
+      // through to the exact state-machine flush below, so qualification
+      // errs only toward slow-correct.
+      if (segN == 1 && segFrom(0) >= 0) {
+        val e0 = segTo(0)
+        var s = segFrom(0)
+        while (s < e0 && { val b = bytes(s) & 0xff; b == 32 || (b >= 9 && b <= 13) }) s += 1
+        var e = e0
+        while (e > s && { val b = bytes(e - 1) & 0xff; b == 32 || (b >= 9 && b <= 13) }) e -= 1
+        if (s == e) return // whitespace-only block: canon drops it
+        var ok = true
+        var spaces = 0
+        var i = s
+        var prevSpace = false
+        while (ok && i < e) {
+          if (i + 8 <= e) {
+            val v = bb.getLong(i)
+            val w = v & ~HIGH
+            val spaceM = eqMask(w, 0x20)
+            val badM = (v & HIGH) | ltMask(w, 0x20) | eqMask(w, 0x7f) |
+              (spaceM & (spaceM << 8)) |
+              (if (prevSpace) spaceM & 0x80L else 0L)
+            if (badM != 0L) ok = false
+            else {
+              spaces += java.lang.Long.bitCount(spaceM)
+              prevSpace = (spaceM & (1L << 63)) != 0L
+              i += 8
+            }
+          } else {
+            val b = bytes(i) & 0xff
+            if (b == 32) {
+              if (prevSpace) ok = false
+              spaces += 1; prevSpace = true
+            } else if (b < 0x21 || b >= 0x7f) ok = false
+            else prevSpace = false
+            i += 1
+          }
+        }
+        if (ok) {
+          if (blockN >= caps.maxBlocks) { truncated = true; return }
+          val len = e - s
+          val text = new String(bytes, s, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val nTok = spaces + 1
+          val linked = (segMeta(0) >>> 1) != 0
+          addBlock(Block(
+            tagPath = blockPath,
+            text = text,
+            startOff = if (firstOff >= 0) firstOff else 0,
+            endOff = if (lastOff >= 0) lastOff else 0,
+            nChars = len,
+            nTokens = nTok,
+            nLinkChars = if (linked) len else 0,
+            nLinkTokens = if (linked) nTok else 0,
+            depth = blockDepth,
+            idx = blockN))
+          return
+        }
+      }
+      if (approxChars > charBuf.length) {
         charBuf = new Array[Char](math.max(approxChars, charBuf.length * 2))
+        scratch.charBuf = charBuf
+      }
       val buf = charBuf
       var len = 0
       var spaces = 0
@@ -303,14 +481,56 @@ object ByteTokenizer {
           // source byte range, all ASCII
           var i = f
           val e = segTo(s)
+          val segBulkEnd = e - 7
           while (i < e) {
+            // SWAR bulk: a word with no whitespace/control lanes is 8
+            // visible chars — one pendingSpace resolution, one link-counter
+            // update, straight byte→char copy
+            var bulked = false
+            if (i < segBulkEnd) {
+              val v = bb.getLong(i)
+              val w = v & ~HIGH
+              val stop = (v & HIGH) | ltMask(w, 0x21) | eqMask(w, 0x7f)
+              val k =
+                if (stop == 0L) 8
+                else java.lang.Long.numberOfTrailingZeros(stop) >>> 3
+              if (k > 0) {
+                if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
+                pendingSpace = false
+                if (inL) {
+                  if (lpending && lchars > 0) { lspaces += 1; lchars += 1 }
+                  lpending = false
+                  lchars += k
+                }
+                var t = 0
+                while (t < k) { buf(len + t) = (bytes(i + t) & 0xff).toChar; t += 1 }
+                len += k
+                i += k
+                bulked = true
+              }
+            }
+            if (!bulked && i < e) {
             val b = bytes(i) & 0xff
             val cls = CLS(b)
             if (cls == 0) { // whitespace
               pendingSpace = true
               if (inL) lpending = true
+              i += 1
             } else if (cls == 2) { // control: removed
-              ()
+              i += 1
+            } else if (cls >= 5) {
+              // multi-byte sequence — reaches the fused flush ONLY when the
+              // scan classified it invisible (ws/stripped/control; a visible
+              // non-ASCII char forces the raw flush, and astral chars are
+              // always visible so cls 7 cannot appear here)
+              val ch = (if (cls == 5) ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+                else ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+                  (bytes(i + 2) & 0x3f)).toChar
+              if (Canon.isWs(ch)) {
+                pendingSpace = true
+                if (inL) lpending = true
+              } // isStripped / isControl: removed
+              i += cls - 3
             } else { // visible (includes '<' '&' appended as literals)
               if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
               pendingSpace = false
@@ -321,12 +541,13 @@ object ByteTokenizer {
               }
               buf(len) = b.toChar
               len += 1
+              i += 1
             }
-            i += 1
+            }
           }
         } else {
           // decoded entity (ASCII here by blockAscii)
-          val str = segStr(-f - 1)
+          val str = segStrA(-f - 1)
           var i = 0
           while (i < str.length) {
             val c = str.charAt(i)
@@ -352,10 +573,10 @@ object ByteTokenizer {
       }
       closeLinkRun()
       if (len == 0) return
-      if (blocks.length >= caps.maxBlocks) { truncated = true; return }
+      if (blockN >= caps.maxBlocks) { truncated = true; return }
       val text = new String(buf, 0, len)
       val nTok = spaces + 1
-      blocks += Block(
+      addBlock(Block(
         tagPath = blockPath,
         text = text,
         startOff = if (firstOff >= 0) firstOff else 0,
@@ -365,7 +586,7 @@ object ByteTokenizer {
         nLinkChars = math.min(linkChars, len),
         nLinkTokens = math.min(linkTokens, nTok),
         depth = blockDepth,
-        idx = blocks.length)
+        idx = blockN))
     }
 
     /** Fallback flush for blocks with non-ASCII content: materialize the
@@ -389,14 +610,14 @@ object ByteTokenizer {
         }
         val f = segFrom(s)
         if (f >= 0) appendUtf8(raw, f, segTo(s))
-        else raw.append(segStr(-f - 1))
+        else raw.append(segStrA(-f - 1))
         s += 1
       }
       if (curLink != 0) linkRuns += ((runStart.toLong << 32) | raw.length.toLong)
       if (raw.length == 0) return
       val rb = HtmlTokenizer.canonRaw(raw, linkRuns)
-      if (rb != null && blocks.length < caps.maxBlocks) {
-        blocks += Block(
+      if (rb != null && blockN < caps.maxBlocks) {
+        addBlock(Block(
           tagPath = blockPath,
           text = rb.text,
           startOff = if (firstOff >= 0) firstOff else 0,
@@ -406,7 +627,7 @@ object ByteTokenizer {
           nLinkChars = rb.linkChars,
           nLinkTokens = rb.linkTokens,
           depth = blockDepth,
-          idx = blocks.length)
+          idx = blockN))
       } else if (rb != null) truncated = true
     }
 
@@ -435,28 +656,42 @@ object ByteTokenizer {
     }
 
     private def pushElem(name: String, anchor: Boolean, suppress: Boolean): Unit = {
-      if (stack.length < caps.maxDepth) {
-        stack += name
-        stackFlags += (if (anchor) 1 else 0) | (if (suppress) 2 else 0)
-        cachedPathValid = false
+      if (stackN < caps.maxDepth) {
+        if (stackN == stackNames.length) {
+          stackNames = java.util.Arrays.copyOf(stackNames, stackN * 2)
+          stackFlags = java.util.Arrays.copyOf(stackFlags, stackN * 2)
+          pathCache = java.util.Arrays.copyOf(pathCache, stackN * 2)
+          pathName = java.util.Arrays.copyOf(pathName, stackN * 2)
+          pathParent = java.util.Arrays.copyOf(pathParent, stackN * 2)
+          scratch.stackNames = stackNames
+          scratch.stackFlags = stackFlags
+          scratch.pathCache = pathCache
+          scratch.pathName = pathName
+          scratch.pathParent = pathParent
+        }
+        stackNames(stackN) = name
+        stackFlags(stackN) = (if (anchor) 1 else 0) | (if (suppress) 2 else 0)
+        stackN += 1
         if (anchor) anchorDepth += 1
         if (suppress) suppressDepth += 1
+        if (name == "head") headDepth += 1
       } else truncated = true
     }
 
     private def popThrough(name: String): Unit = {
-      var j = stack.length - 1
-      while (j >= 0 && stack(j) != name) j -= 1
+      var j = stackN - 1
+      while (j >= 0 && stackNames(j) != name) j -= 1
       if (j >= 0) {
-        cachedPathValid = false
-        var k = stack.length - 1
+        var k = stackN - 1
         while (k >= j) {
-          stack.remove(k)
-          val f = stackFlags.remove(k)
+          val f = stackFlags(k)
           if ((f & 1) != 0) anchorDepth = math.max(0, anchorDepth - 1)
           if ((f & 2) != 0) suppressDepth = math.max(0, suppressDepth - 1)
+          if (stackNames(k) == "head") headDepth = math.max(0, headDepth - 1)
           k -= 1
         }
+        stackN = j
+        if (pathValidN > stackN) pathValidN = stackN
       }
     }
 
@@ -479,17 +714,32 @@ object ByteTokenizer {
     private def scanToChar(ch: Int, from: Int): Int = {
       var i = from
       while (i < nB) {
-        val b = bytes(i) & 0xff
-        if (b == ch) return i
-        cOff += unitsOf(b)
-        i += 1
+        if (i < bulkEnd) {
+          val v = bb.getLong(i)
+          val w = v & ~HIGH
+          val m = (v & HIGH) | eqMask(w, ch)
+          if (m == 0L) { cOff += 8; i += 8 }
+          else {
+            val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
+            cOff += k; i += k
+            val b = bytes(i) & 0xff
+            if (b == ch) return i
+            cOff += unitsOf(b)
+            i += 1
+          }
+        } else {
+          val b = bytes(i) & 0xff
+          if (b == ch) return i
+          cOff += unitsOf(b)
+          i += 1
+        }
       }
       -1
     }
 
     def run(): HtmlTokenizer.Result = {
       var i = off
-      while (i < nB && blocks.length < caps.maxBlocks) {
+      while (i < nB && blockN < caps.maxBlocks) {
         val c = bytes(i) & 0xff
         if (c == '<') {
           if (i + 3 < nB && bytes(i + 1) == '!' && bytes(i + 2) == '-' && bytes(i + 3) == '-') {
@@ -498,9 +748,22 @@ object ByteTokenizer {
             var j = i + 4
             var end = -1
             while (end < 0 && j < nB) {
-              if (bytes(j) == '-' && j + 2 < nB && bytes(j + 1) == '-' && bytes(j + 2) == '>')
-                end = j
-              else { cOff += unitsOf(bytes(j) & 0xff); j += 1 }
+              var bulked = false
+              if (j < bulkEnd) {
+                val v = bb.getLong(j)
+                val w = v & ~HIGH
+                val m = (v & HIGH) | eqMask(w, '-')
+                if (m == 0L) { cOff += 8; j += 8; bulked = true }
+                else {
+                  val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
+                  if (k > 0) { cOff += k; j += k; bulked = true }
+                }
+              }
+              if (!bulked) {
+                if (bytes(j) == '-' && j + 2 < nB && bytes(j + 1) == '-' && bytes(j + 2) == '>')
+                  end = j
+                else { cOff += unitsOf(bytes(j) & 0xff); j += 1 }
+              }
             }
             if (end < 0) i = nB
             else { cOff += 3; i = end + 3 }
@@ -561,20 +824,35 @@ object ByteTokenizer {
               var quote = 0
               var done = false
               while (j < nB && !done) {
-                val cc = bytes(j) & 0xff
-                if (quote != 0) {
-                  if (cc == quote) quote = 0
-                  cOff += unitsOf(cc); j += 1
-                } else if (cc == '"' || cc == '\'') { quote = cc; cOff += 1; j += 1 }
-                else if (cc == '>') {
-                  selfClose = j > 0 && bytes(j - 1) == '/'
-                  cOff += 1; j += 1; done = true
-                } else { cOff += unitsOf(cc); j += 1 }
+                var bulked = false
+                if (j < bulkEnd) {
+                  val v = bb.getLong(j)
+                  val w = v & ~HIGH
+                  val m =
+                    if (quote != 0) (v & HIGH) | eqMask(w, quote)
+                    else (v & HIGH) | eqMask(w, '"') | eqMask(w, '\'') | eqMask(w, '>')
+                  if (m == 0L) { cOff += 8; j += 8; bulked = true }
+                  else {
+                    val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
+                    if (k > 0) { cOff += k; j += k; bulked = true }
+                  }
+                }
+                if (!bulked) {
+                  val cc = bytes(j) & 0xff
+                  if (quote != 0) {
+                    if (cc == quote) quote = 0
+                    cOff += unitsOf(cc); j += 1
+                  } else if (cc == '"' || cc == '\'') { quote = cc; cOff += 1; j += 1 }
+                  else if (cc == '>') {
+                    selfClose = j > 0 && bytes(j - 1) == '/'
+                    cOff += 1; j += 1; done = true
+                  } else { cOff += unitsOf(cc); j += 1 }
+                }
               }
               if (!done) { i = nB }
               else {
                 if (isBlock) flush()
-                if (!closing && name == "body" && stack.contains("head"))
+                if (!closing && name == "body" && headDepth > 0)
                   popThrough("head")
                 if (closing) { popThrough(name); i = j }
                 else if (isRaw) {
@@ -583,10 +861,23 @@ object ByteTokenizer {
                   var k = j
                   var found = -1
                   while (found < 0 && k < nB) {
-                    if (bytes(k) == '<' && k + 1 < nB && bytes(k + 1) == '/' &&
-                      matchesNameAt(k + 2, name) &&
-                      isRawTextEnd(k + 2 + name.length)) found = k
-                    else { cOff += unitsOf(bytes(k) & 0xff); k += 1 }
+                    var bulked = false
+                    if (k < bulkEnd) {
+                      val v = bb.getLong(k)
+                      val w = v & ~HIGH
+                      val m = (v & HIGH) | eqMask(w, '<')
+                      if (m == 0L) { cOff += 8; k += 8; bulked = true }
+                      else {
+                        val kk = java.lang.Long.numberOfTrailingZeros(m) >>> 3
+                        if (kk > 0) { cOff += kk; k += kk; bulked = true }
+                      }
+                    }
+                    if (!bulked) {
+                      if (bytes(k) == '<' && k + 1 < nB && bytes(k + 1) == '/' &&
+                        matchesNameAt(k + 2, name) &&
+                        isRawTextEnd(k + 2 + name.length)) found = k
+                      else { cOff += unitsOf(bytes(k) & 0xff); k += 1 }
+                    }
                   }
                   if (found < 0) i = nB
                   else {
@@ -627,15 +918,58 @@ object ByteTokenizer {
           if (suppressDepth > 0) {
             var scanning = true
             while (scanning && j < nB) {
-              val b = bytes(j) & 0xff
-              val cls = CLS(b)
-              if (cls == 3 || cls == 4) scanning = false
-              else if (cls <= 2) { cOff += 1; j += 1 }
-              else { cOff += (if (cls == 7) 2 else 1); j += cls - 3 } // 5→2, 6→3, 7→4 bytes
+              // SWAR bulk: skip whole words of ASCII until '<' / '&' / a
+              // multi-byte lead; each skipped ASCII byte is one UTF-16 unit
+              var bulked = false
+              if (j < bulkEnd) {
+                val v = bb.getLong(j)
+                val w = v & ~HIGH
+                val m = (v & HIGH) | eqMask(w, '<') | eqMask(w, '&')
+                if (m == 0L) { cOff += 8; j += 8; bulked = true }
+                else {
+                  val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
+                  if (k > 0) { cOff += k; j += k; bulked = true }
+                }
+              }
+              if (!bulked) {
+                val b = bytes(j) & 0xff
+                val cls = CLS(b)
+                if (cls == 3 || cls == 4) scanning = false
+                else if (cls <= 2) { cOff += 1; j += 1 }
+                else { cOff += (if (cls == 7) 2 else 1); j += cls - 3 } // 5→2, 6→3, 7→4 bytes
+              }
             }
           } else {
             var scanning = true
             while (scanning && j < nB) {
+              // SWAR bulk: a word of whitespace + visible ASCII advances in
+              // one step — the visible-extent bookkeeping reads the exact
+              // per-lane ≥ 0x21 mask. Only '<' '&', C0/DEL controls and
+              // multi-byte leads drop to the per-byte branch.
+              var bulked = false
+              if (j < bulkEnd) {
+                val v = bb.getLong(j)
+                val w = v & ~HIGH
+                val ctrlM = ltMask(w, 9) | (geMask(w, 14) & ltMask(w, 0x20)) |
+                  eqMask(w, 0x7f)
+                val special = (v & HIGH) | eqMask(w, '<') | eqMask(w, '&') | ctrlM
+                val k =
+                  if (special == 0L) 8
+                  else java.lang.Long.numberOfTrailingZeros(special) >>> 3
+                if (k > 0) {
+                  val visM = geMask(w, 0x21) &
+                    (if (k == 8) -1L else (1L << (8 * k)) - 1)
+                  if (visM != 0L) {
+                    if (firstC < 0)
+                      firstC = cOff + (java.lang.Long.numberOfTrailingZeros(visM) >>> 3)
+                    lastCEnd = cOff +
+                      ((63 - java.lang.Long.numberOfLeadingZeros(visM)) >>> 3) + 1
+                  }
+                  cOff += k; j += k
+                  bulked = true
+                }
+              }
+              if (!bulked && scanning && j < nB) {
               val b = bytes(j) & 0xff
               val cls = CLS(b)
               if (cls == 1) { // visible ASCII — dominant branch
@@ -645,7 +979,6 @@ object ByteTokenizer {
               } else if (cls == 0 || cls == 2) { cOff += 1; j += 1 }
               else if (cls == 3 || cls == 4) scanning = false
               else {
-                ascii = false
                 val blen = cls - 3 // 2, 3 or 4 bytes
                 val units = if (cls == 7) 2 else 1
                 val visible =
@@ -659,11 +992,17 @@ object ByteTokenizer {
                     !(Canon.isWs(ch) || Canon.isStripped(ch) || Canon.isControl(ch))
                   }
                 if (visible) {
+                  // only a VISIBLE non-ASCII char forces the raw/NFC flush;
+                  // invisible ones (nbsp, zwsp, C1, line-sep — all common in
+                  // real pages) are collapsed/stripped before NFC could
+                  // matter, so the fused ASCII flush handles them inline
+                  ascii = false
                   if (firstC < 0) firstC = cOff
                   lastCEnd = cOff + units
                 }
                 cOff += units
                 j += blen
+              }
               }
             }
           }
@@ -674,7 +1013,10 @@ object ByteTokenizer {
       }
       if (i < nB) truncated = true
       flush()
-      HtmlTokenizer.Result(blocks.toArray, truncated)
+      // shrink an over-grown canon buffer before parking the scratch (a
+      // single huge block must not pin memory for the thread's lifetime)
+      if (scratch.charBuf.length > (1 << 20)) scratch.charBuf = new Array[Char](1 << 16)
+      HtmlTokenizer.Result(java.util.Arrays.copyOf(blockBuf, blockN), truncated)
     }
 
     /** Case-insensitive ASCII match of `name` at byte position p. */

@@ -69,6 +69,24 @@ object Entities {
     0x9c -> 0x0153, 0x9e -> 0x017e, 0x9f -> 0x0178
   )
 
+  /** 7-bit-packed name → replacement: named-reference lookup with zero
+    * allocation (no subSequence/toString/boxed Map.get on the tokenizer's
+    * hot path). Names are case-sensitive ASCII; every table name is ≤ 6
+    * chars so ≤ 9 chars (63 bits) covers the table — longer candidate
+    * names cannot match and return null directly.
+    */
+  private val packedTable: scala.collection.mutable.LongMap[String] = {
+    val m = scala.collection.mutable.LongMap.empty[String]
+    table.foreach { case (k, v) =>
+      require(k.length <= 9, s"entity name too long for packed table: $k")
+      var code = 0L
+      var i = 0
+      while (i < k.length) { code = (code << 7) | k.charAt(i).toLong; i += 1 }
+      m(code) = v
+    }
+    m
+  }
+
   def numericToString(cp0: Int): String = {
     val cp = c1Remap.getOrElse(cp0, cp0)
     if (cp <= 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) "�"
@@ -104,13 +122,15 @@ object Entities {
       (numericToString(math.min(cp, 0x110000L).toInt), i + 1 - at)
     } else {
       val nameStart = i
-      while (i < n && i - nameStart < 32 && isNameChar(src.charAt(i))) i += 1
-      if (i == nameStart || i >= n || src.charAt(i) != ';') return null
-      val name = src.subSequence(nameStart, i).toString
-      table.get(name) match {
-        case Some(rep) => (rep, i + 1 - at)
-        case None => null
+      var code = 0L
+      while (i < n && i - nameStart < 32 && isNameChar(src.charAt(i))) {
+        if (i - nameStart < 9) code = (code << 7) | src.charAt(i).toLong
+        i += 1
       }
+      if (i == nameStart || i >= n || src.charAt(i) != ';') return null
+      if (i - nameStart > 9) return null // no table name is that long
+      val rep = packedTable.getOrNull(code)
+      if (rep == null) null else (rep, i + 1 - at)
     }
   }
 
