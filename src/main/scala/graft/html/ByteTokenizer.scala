@@ -37,6 +37,30 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ByteTokenizer {
 
+  /** Diagnostic hooks (TokProfile only): JIT-constant flags read once from
+    * system properties, so production runs carry zero cost. `scanOnly`
+    * BREAKS semantics (blocks are scanned but never flushed) — it exists to
+    * attribute scan vs flush cost. Counters attribute flush flavors.
+    */
+  private final val DIAG = java.lang.Boolean.getBoolean("graft.tok.diag")
+  private final val SCAN_ONLY = java.lang.Boolean.getBoolean("graft.tok.scanonly")
+  object Diag {
+    var verbatim = 0L
+    var fused = 0L
+    var raw = 0L
+    var blocks = 0L
+    var segs = 0L
+    var entities = 0L
+    var textBytes = 0L
+    var vhit = 0L
+    var vmiss = 0L
+    var vhitBytes = 0L
+    var smBytes = 0L
+    override def toString: String =
+      s"verbatim=$verbatim fused=$fused raw=$raw blocks=$blocks segs=$segs entities=$entities " +
+        s"textBytes=$textBytes vhit=$vhit vmiss=$vmiss vhitBytes=$vhitBytes smBytes=$smBytes"
+  }
+
   /** Per-thread reusable buffers (r5 profile: per-document allocation and
     * ArrayBuffer bookkeeping dominated once the scan loops went SWAR).
     * Tokenizing now allocates only what escapes — each Block, its text
@@ -48,17 +72,28 @@ object ByteTokenizer {
     * known tag names are shared TagInfo instances, so the per-block path is
     * almost always a pointer-compare hit instead of a fresh concat.
     */
+  /** Interned tagPath trie node: children keyed by the 6-bit-packed tag
+    * code (exact for names ≤ 10 chars), so building a path at a level the
+    * thread has EVER seen before is one LongMap probe — no concat, no
+    * allocation. Bounded by [[Scratch.pathNodeBudget]] against adversarial
+    * unique-tag floods (beyond the budget, nodes are created uncached).
+    */
+  private final class PathNode(val path: String, val parent: PathNode, val code: Long) {
+    val children = new scala.collection.mutable.LongMap[PathNode](8)
+  }
+
   private final class Scratch {
     var stackNames = new Array[String](64)
     var stackFlags = new Array[Int](64)
-    var pathCache = new Array[String](64)
-    var pathName = new Array[String](64)
-    var pathParent = new Array[String](64)
+    var stackCodes = new Array[Long](64)
+    var pathNode = new Array[PathNode](64)
+    val pathRoot = new PathNode("", null, -2L)
+    var pathNodeBudget = 1 << 16
     var segFrom = new Array[Int](64)
     var segTo = new Array[Int](64)
     var segMeta = new Array[Int](64)
     var segStr = new Array[String](16)
-    var charBuf = new Array[Char](4096)
+    var byteBuf = new Array[Byte](4096)
     var blockBuf = new Array[Block](128)
   }
   private val scratchTL: ThreadLocal[Scratch] =
@@ -225,34 +260,53 @@ object ByteTokenizer {
     private var anchorDepth = 0
     private var suppressDepth = 0
     private var headDepth = 0
-    // pathCache(d) = stackNames.take(d + 1).mkString("/"); levels
-    // [0, pathValidN) are current for THIS run. Pops only shrink
-    // pathValidN. A level revalidates without a concat when both the parent
-    // path and the name at that level are the SAME INSTANCES that built the
-    // cached entry — true across documents for known tags (shared TagInfo
-    // names) and repeated structure, so the concat only runs on genuinely
-    // new paths.
-    private var pathCache = scratch.pathCache
-    private var pathName = scratch.pathName
-    private var pathParent = scratch.pathParent
+    // pathNode(d) interns stackNames.take(d + 1).mkString("/") in the
+    // thread's persistent path trie; levels [0, pathValidN) are current for
+    // THIS run (pops only shrink pathValidN). A level the thread has EVER
+    // built before — any document, any depth history — revalidates with one
+    // LongMap probe on (parent node, tag code); the "/"-concat runs exactly
+    // once per unique path per thread (r5 JFR: the per-depth-slot identity
+    // cache this replaces spent ~40% of scan time re-concatenating paths
+    // whenever sibling structure alternated).
+    private var stackCodes = scratch.stackCodes
+    private var pathNode = scratch.pathNode
     private var pathValidN = 0
     private def currentPath(): String = {
       if (stackN == 0) return ""
       if (pathValidN < stackN) {
         var d = pathValidN
         while (d < stackN) {
-          val nm = stackNames(d)
-          val parent = if (d == 0) null else pathCache(d - 1)
-          if (!((pathName(d) eq nm) && (pathParent(d) eq parent))) {
-            pathCache(d) = if (d == 0) nm else parent + "/" + nm
-            pathName(d) = nm
-            pathParent(d) = parent
+          val parent = if (d == 0) scratch.pathRoot else pathNode(d - 1)
+          val code = stackCodes(d)
+          // fast identity revalidation: the slot still holds the node for
+          // this exact (parent, code) pair — common when the same structure
+          // repeats at this depth (pointer-width compares, no hash probe)
+          var nd = pathNode(d)
+          if (nd == null || !((nd.parent eq parent) && nd.code == code) || code < 0) {
+            if (code >= 0) {
+              nd = parent.children.getOrNull(code)
+              if (nd == null) {
+                nd = new PathNode(
+                  if (d == 0) stackNames(d) else parent.path + "/" + stackNames(d),
+                  parent, code)
+                if (scratch.pathNodeBudget > 0) {
+                  scratch.pathNodeBudget -= 1
+                  parent.children(code) = nd
+                }
+              }
+            } else {
+              // uncodable name (> 10 chars): uncached, concat per block
+              nd = new PathNode(
+                if (d == 0) stackNames(d) else parent.path + "/" + stackNames(d),
+                parent, code)
+            }
+            pathNode(d) = nd
           }
           d += 1
         }
         pathValidN = stackN
       }
-      pathCache(stackN - 1)
+      pathNode(stackN - 1).path
     }
 
     // running UTF-16 offset of the NEXT byte position (relative to the
@@ -282,8 +336,12 @@ object ByteTokenizer {
     private var blockPath = ""
     private var pathSet = false
 
-    // reusable canonicalization buffer (fused ASCII flush target)
-    private var charBuf = scratch.charBuf
+    // reusable canonicalization buffer (fused ASCII flush target). BYTES,
+    // not chars: every canonical char of an all-ASCII block is < 0x80, so
+    // clean stretches of source bytes can be System.arraycopy'd and the
+    // final String is one Latin1 memcpy (no compact-string compression
+    // pass over a char[]).
+    private var byteBuf = scratch.byteBuf
 
     @inline private def inLink: Boolean = anchorDepth > 0
 
@@ -374,6 +432,19 @@ object ByteTokenizer {
     private def flush(): Unit = {
       endLinkRunIfOpen()
       if (segN == 0) { clearBlock(); return }
+      if (DIAG) {
+        Diag.blocks += 1
+        Diag.segs += segN
+        var s = 0
+        while (s < segN) {
+          if (segFrom(s) >= 0) Diag.textBytes += segTo(s) - segFrom(s)
+          s += 1
+        }
+        if (!blockAscii) Diag.raw += 1
+        else if (segN == 1 && segFrom(0) >= 0) Diag.verbatim += 1
+        else Diag.fused += 1
+      }
+      if (SCAN_ONLY) { clearBlock(); return }
       if (blockAscii) flushFusedAscii()
       else flushViaRaw()
       clearBlock()
@@ -428,6 +499,7 @@ object ByteTokenizer {
             i += 1
           }
         }
+        if (DIAG) { if (ok) { Diag.vhit += 1; Diag.vhitBytes += e - s } else Diag.vmiss += 1 }
         if (ok) {
           if (blockN >= caps.maxBlocks) { truncated = true; return }
           val len = e - s
@@ -448,73 +520,88 @@ object ByteTokenizer {
           return
         }
       }
-      if (approxChars > charBuf.length) {
-        charBuf = new Array[Char](math.max(approxChars, charBuf.length * 2))
-        scratch.charBuf = charBuf
+      if (approxChars > byteBuf.length) {
+        byteBuf = new Array[Byte](math.max(approxChars, byteBuf.length * 2))
+        scratch.byteBuf = byteBuf
       }
-      val buf = charBuf
-      var len = 0
-      var spaces = 0
-      var pendingSpace = false
-      var linkChars = 0
-      var linkTokens = 0
-      var curLink = 0 // link id of the open link-run accumulation, 0 = none
-      var lchars = 0
-      var lspaces = 0
-      var lpending = false
-      def closeLinkRun(): Unit = if (curLink != 0) {
-        linkChars += lchars
-        linkTokens += (if (lchars == 0) 0 else lspaces + 1)
-        curLink = 0
-      }
+      val buf = byteBuf
+      fLen = 0
+      fSpaces = 0
+      fPending = false
+      fLinkChars = 0
+      fLinkTokens = 0
+      fCurLink = 0
+      fLchars = 0
+      fLspaces = 0
+      fLpending = false
       var s = 0
       while (s < segN) {
         val meta = segMeta(s)
         val linkId = meta >>> 1
-        if (linkId != curLink) {
+        if (linkId != fCurLink) {
           closeLinkRun()
-          if (linkId != 0) { curLink = linkId; lchars = 0; lspaces = 0; lpending = false }
+          if (linkId != 0) { fCurLink = linkId; fLchars = 0; fLspaces = 0; fLpending = false }
         }
         val inL = linkId != 0
+        fInL = inL
         val f = segFrom(s)
         if (f >= 0) {
           // source byte range, all ASCII
           var i = f
           val e = segTo(s)
-          val segBulkEnd = e - 7
+          if (DIAG) Diag.smBytes += e - f
           while (i < e) {
-            // SWAR bulk: a word with no whitespace/control lanes is 8
-            // visible chars — one pendingSpace resolution, one link-counter
-            // update, straight byte→char copy
-            var bulked = false
-            if (i < segBulkEnd) {
-              val v = bb.getLong(i)
-              val w = v & ~HIGH
-              val stop = (v & HIGH) | ltMask(w, 0x21) | eqMask(w, 0x7f)
-              val k =
-                if (stop == 0L) 8
-                else java.lang.Long.numberOfTrailingZeros(stop) >>> 3
-              if (k > 0) {
-                if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
-                pendingSpace = false
-                if (inL) {
-                  if (lpending && lchars > 0) { lspaces += 1; lchars += 1 }
-                  lpending = false
-                  lchars += k
+            // SWAR bulk copy-with-holes: a stretch with no controls, no
+            // non-space whitespace, no double spaces, and no leading space
+            // IS its own canonical form. Scan the whole clean run first
+            // (words may read past the segment end — k is clamped to e, so
+            // segment tails stay on the bulk path), then ONE arraycopy.
+            // Only dirty bytes (and pending-space / pending-link
+            // resolution) drop to the per-byte state machine.
+            if (i < bulkEnd && fLen > 0 && !fPending && !(inL && fLpending)) {
+              val runStart = i
+              var sp = 0
+              var carry = if (buf(fLen - 1) == ' ') 0x80L else 0L
+              var go = true
+              while (go && i < bulkEnd) {
+                val v = bb.getLong(i)
+                val w = v & ~HIGH
+                val spaceM = eqMask(w, 0x20)
+                val wsOther = geMask(w, 9) & ltMask(w, 14) // \t \n \v \f \r
+                val ctl = ltMask(w, 9) | (geMask(w, 14) & ltMask(w, 0x20)) |
+                  eqMask(w, 0x7f)
+                val dbl = spaceM & ((spaceM << 8) | carry)
+                val stop = (v & HIGH) | wsOther | ctl | dbl
+                if (stop == 0L && i + 8 < e) {
+                  sp += java.lang.Long.bitCount(spaceM)
+                  carry = if ((spaceM & (1L << 63)) != 0L) 0x80L else 0L
+                  i += 8
+                } else {
+                  var k =
+                    if (stop == 0L) 8
+                    else java.lang.Long.numberOfTrailingZeros(stop) >>> 3
+                  if (i + k > e) k = e - i
+                  sp += java.lang.Long.bitCount(
+                    spaceM & (if (k == 8) -1L else (1L << (8 * k)) - 1))
+                  i += k
+                  go = false
                 }
-                var t = 0
-                while (t < k) { buf(len + t) = (bytes(i + t) & 0xff).toChar; t += 1 }
-                len += k
-                i += k
-                bulked = true
+              }
+              if (i > runStart) {
+                val n = i - runStart
+                System.arraycopy(bytes, runStart, buf, fLen, n)
+                fSpaces += sp
+                if (inL) { fLchars += n; fLspaces += sp }
+                fLen += n
               }
             }
-            if (!bulked && i < e) {
+            if (i < e) {
             val b = bytes(i) & 0xff
             val cls = CLS(b)
             if (cls == 0) { // whitespace
-              pendingSpace = true
-              if (inL) lpending = true
+              retractTrailingSpace()
+              fPending = true
+              if (inL) fLpending = true
               i += 1
             } else if (cls == 2) { // control: removed
               i += 1
@@ -527,24 +614,29 @@ object ByteTokenizer {
                 else ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
                   (bytes(i + 2) & 0x3f)).toChar
               if (Canon.isWs(ch)) {
-                pendingSpace = true
-                if (inL) lpending = true
+                retractTrailingSpace()
+                fPending = true
+                if (inL) fLpending = true
               } // isStripped / isControl: removed
               i += cls - 3
             } else { // visible (includes '<' '&' appended as literals)
-              if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
-              pendingSpace = false
+              if (fPending && fLen > 0) { buf(fLen) = ' '; fLen += 1; fSpaces += 1 }
+              fPending = false
               if (inL) {
-                if (lpending && lchars > 0) { lspaces += 1; lchars += 1 }
-                lpending = false
-                lchars += 1
+                if (fLpending && fLchars > 0) { fLspaces += 1; fLchars += 1 }
+                fLpending = false
+                fLchars += 1
               }
-              buf(len) = b.toChar
-              len += 1
+              buf(fLen) = b.toByte
+              fLen += 1
               i += 1
             }
             }
           }
+          // segment ends: a bulk-copied trailing space must revert to
+          // pendingSpace so cross-segment and link-close accounting see the
+          // state machine's exact deferred-space protocol
+          retractTrailingSpace()
         } else {
           // decoded entity (ASCII here by blockAscii)
           val str = segStrA(-f - 1)
@@ -552,19 +644,19 @@ object ByteTokenizer {
           while (i < str.length) {
             val c = str.charAt(i)
             if (Canon.isWs(c)) {
-              pendingSpace = true
-              if (inL) lpending = true
+              fPending = true
+              if (inL) fLpending = true
             } else if (Canon.isControl(c) || Canon.isStripped(c)) ()
             else {
-              if (pendingSpace && len > 0) { buf(len) = ' '; len += 1; spaces += 1 }
-              pendingSpace = false
+              if (fPending && fLen > 0) { buf(fLen) = ' '; fLen += 1; fSpaces += 1 }
+              fPending = false
               if (inL) {
-                if (lpending && lchars > 0) { lspaces += 1; lchars += 1 }
-                lpending = false
-                lchars += 1
+                if (fLpending && fLchars > 0) { fLspaces += 1; fLchars += 1 }
+                fLpending = false
+                fLchars += 1
               }
-              buf(len) = c
-              len += 1
+              buf(fLen) = c.toByte
+              fLen += 1
             }
             i += 1
           }
@@ -572,22 +664,59 @@ object ByteTokenizer {
         s += 1
       }
       closeLinkRun()
-      if (len == 0) return
+      if (fLen == 0) return
       if (blockN >= caps.maxBlocks) { truncated = true; return }
-      val text = new String(buf, 0, len)
-      val nTok = spaces + 1
+      val text = new String(buf, 0, fLen, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val nTok = fSpaces + 1
       addBlock(Block(
         tagPath = blockPath,
         text = text,
         startOff = if (firstOff >= 0) firstOff else 0,
         endOff = if (lastOff >= 0) lastOff else 0,
-        nChars = len,
+        nChars = fLen,
         nTokens = nTok,
-        nLinkChars = math.min(linkChars, len),
-        nLinkTokens = math.min(linkTokens, nTok),
+        nLinkChars = math.min(fLinkChars, fLen),
+        nLinkTokens = math.min(fLinkTokens, nTok),
         depth = blockDepth,
         idx = blockN))
     }
+
+    // ---- fused-flush state, hoisted to fields so the flush helpers are
+    // plain methods (nested defs capturing local vars box them into heap
+    // IntRef/BooleanRef cells — one allocation per captured var per flush,
+    // plus an indirection on every access; measurable at 260k flushes/s/core)
+    private var fLen = 0
+    private var fSpaces = 0
+    private var fPending = false
+    private var fLinkChars = 0
+    private var fLinkTokens = 0
+    private var fCurLink = 0 // link id of the open link-run accumulation, 0 = none
+    private var fLchars = 0
+    private var fLspaces = 0
+    private var fLpending = false
+    private var fInL = false
+
+    private def closeLinkRun(): Unit = if (fCurLink != 0) {
+      fLinkChars += fLchars
+      fLinkTokens += (if (fLchars == 0) 0 else fLspaces + 1)
+      fCurLink = 0
+    }
+
+    /** Retract an optimistically copied trailing space (bulk path): exact
+      * because the ONLY way buf can end in ' ' at a retraction point is a
+      * bulk copy — the per-byte path emits a space only immediately before
+      * a visible char. The state machine would not have emitted that space
+      * yet (pendingSpace defers it), so moving it back into
+      * pendingSpace/lpending restores its exact state, including the link
+      * counters the bulk credited early.
+      */
+    private def retractTrailingSpace(): Unit =
+      if (fLen > 0 && byteBuf(fLen - 1) == ' ') {
+        fLen -= 1
+        fSpaces -= 1
+        fPending = true
+        if (fInL) { fLchars -= 1; fLspaces -= 1; fLpending = true }
+      }
 
     /** Fallback flush for blocks with non-ASCII content: materialize the
       * SAME intermediate string + link runs the char Run builds, then run
@@ -655,22 +784,21 @@ object ByteTokenizer {
       }
     }
 
-    private def pushElem(name: String, anchor: Boolean, suppress: Boolean): Unit = {
+    private def pushElem(name: String, code: Long, anchor: Boolean, suppress: Boolean): Unit = {
       if (stackN < caps.maxDepth) {
         if (stackN == stackNames.length) {
           stackNames = java.util.Arrays.copyOf(stackNames, stackN * 2)
           stackFlags = java.util.Arrays.copyOf(stackFlags, stackN * 2)
-          pathCache = java.util.Arrays.copyOf(pathCache, stackN * 2)
-          pathName = java.util.Arrays.copyOf(pathName, stackN * 2)
-          pathParent = java.util.Arrays.copyOf(pathParent, stackN * 2)
+          stackCodes = java.util.Arrays.copyOf(stackCodes, stackN * 2)
+          pathNode = java.util.Arrays.copyOf(pathNode, stackN * 2)
           scratch.stackNames = stackNames
           scratch.stackFlags = stackFlags
-          scratch.pathCache = pathCache
-          scratch.pathName = pathName
-          scratch.pathParent = pathParent
+          scratch.stackCodes = stackCodes
+          scratch.pathNode = pathNode
         }
         stackNames(stackN) = name
         stackFlags(stackN) = (if (anchor) 1 else 0) | (if (suppress) 2 else 0)
+        stackCodes(stackN) = code
         stackN += 1
         if (anchor) anchorDepth += 1
         if (suppress) suppressDepth += 1
@@ -886,7 +1014,7 @@ object ByteTokenizer {
                   }
                 } else {
                   if (!isVoid && !(selfClose && isForeign))
-                    pushElem(name, isAnchor, isSuppress)
+                    pushElem(name, if (nameLen <= 10) code else -1L, isAnchor, isSuppress)
                   i = j
                 }
               }
@@ -898,6 +1026,7 @@ object ByteTokenizer {
             i += 1
           }
         } else if (c == '&') {
+          if (DIAG) Diag.entities += 1
           val dec = Entities.tryDecode(view, i, nB)
           if (dec != null) {
             appendDecoded(dec._1, cOff, cOff + dec._2)
@@ -1015,7 +1144,7 @@ object ByteTokenizer {
       flush()
       // shrink an over-grown canon buffer before parking the scratch (a
       // single huge block must not pin memory for the thread's lifetime)
-      if (scratch.charBuf.length > (1 << 20)) scratch.charBuf = new Array[Char](1 << 16)
+      if (scratch.byteBuf.length > (1 << 20)) scratch.byteBuf = new Array[Byte](1 << 16)
       HtmlTokenizer.Result(java.util.Arrays.copyOf(blockBuf, blockN), truncated)
     }
 

@@ -54,5 +54,7 @@ object TokProfile {
     val nsPerByte = sec * 1e9 / (totalBytes.toDouble * passes)
     println(f"mode=$mode passes=$passes docs=${n * passes} ns/byte=$nsPerByte%.2f " +
       f"ms/doc=${sec * 1e3 / (n * passes)}%.4f (sink=$sink)")
+    if (java.lang.Boolean.getBoolean("graft.tok.diag"))
+      println(s"diag: ${ByteTokenizer.Diag} totalBytes=${totalBytes * passes}")
   }
 }
