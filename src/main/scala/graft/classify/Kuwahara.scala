@@ -56,11 +56,13 @@ object Kuwahara {
     * coherence pass stays RAW: edges to chrome are real structure, exactly
     * as the reference's tensor sees the full image.
     */
-  def filter(x: Array[Double], half: Int, masked: Boolean = true): Array[Double] = {
+  /** Smoothed-signal gradients, exactly as the filter sees them: 3-tap
+    * replicate-border smooth (scaled by 3), then replicate-border central
+    * difference (scaled by 6). Exposed for the tensor-collapse property
+    * test (KuwaharaTensorSpec).
+    */
+  private[graft] def gradients(x: Array[Double]): Array[Double] = {
     val n = x.length
-    val out = new Array[Double](n)
-    if (n == 0) return out
-    // 3-tap replicate-border smooth, scaled by 3 (kept integer-exact)
     val s3 = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -69,7 +71,6 @@ object Kuwahara {
       s3(i) = l + x(i) + r
       i += 1
     }
-    // central difference of the smooth (scaled by 6), replicate border
     val g = new Array[Double](n)
     i = 0
     while (i < n) {
@@ -78,14 +79,37 @@ object Kuwahara {
       g(i) = r - l
       i += 1
     }
-    i = 0
+    g
+  }
+
+  /** Windowed coherence anisotropy A = |Σg| / Σ|g| at position i — the 1-D
+    * collapse of the reference's tensor anisotropy (λ1−λ2)/(λ1+λ2)
+    * (tensorComputation, kuwaharaFilter.cpp:174-236). The correspondence is
+    * the standard axial-data construction from directional statistics: a
+    * 1-D gradient's orientation is its SIGN (angles {0, π}), which
+    * angle-halving maps to the axial pair {0, π/2}; the orientation tensor
+    * of those axes weighted by |g|, T = Σ |gᵢ| · e(sᵢ)e(sᵢ)ᵀ, has
+    * (λ1−λ2)/(λ1+λ2) = |Σg|/Σ|g| IDENTICALLY (KuwaharaTensorSpec pins the
+    * identity numerically, including rotation invariance of the embedding).
+    */
+  private[graft] def coherenceAt(g: Array[Double], i: Int, half: Int): Double = {
+    val n = g.length
+    var gs = 0.0; var ga = 0.0
+    var j = math.max(0, i - half)
+    val jhi = math.min(n - 1, i + half)
+    while (j <= jhi) { gs += g(j); ga += math.abs(g(j)); j += 1 }
+    if (ga <= 0.0) 0.0 else math.abs(gs) / ga
+  }
+
+  def filter(x: Array[Double], half: Int, masked: Boolean = true): Array[Double] = {
+    val n = x.length
+    val out = new Array[Double](n)
+    if (n == 0) return out
+    val g = gradients(x)
+    var i = 0
     while (i < n) {
       // 1-D structure tensor → coherence anisotropy over the window
-      var gs = 0.0; var ga = 0.0
-      var j = math.max(0, i - half)
-      val jhi = math.min(n - 1, i + half)
-      while (j <= jhi) { gs += g(j); ga += math.abs(g(j)); j += 1 }
-      val a = if (ga <= 0.0) 0.0 else math.abs(gs) / ga
+      val a = coherenceAt(g, i, half)
       val hEff = math.max(2, (half / (1.0 + a)).toInt)
       val hNear = math.max(1, hEff / 2)
       // sectors in reference scan order; strict < keeps the first min
