@@ -12,11 +12,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Double-entry safety (the same contract as FixtureCheck write): freezing
   * REFUSES unless
   *   1. the default pipeline is byte-identical to FixtureGen's independent
-  *      ground truth on the standard corpus, and
+  *      ground truth on the standard corpus,
   *   2. the adversarial corpus under the polarity-safe kind (nativeadaptive)
-  *      is byte-identical to ITS ground truth.
-  * Per-kind variant goldens are frozen pipeline output (regression gates);
-  * the two checks above anchor the family to generator ground truth.
+  *      is byte-identical to ITS ground truth, and
+  *   3. every standard-corpus variant kind passes the VariantAnchor gate
+  *      (r5): 11 kinds byte-identical to ground truth on all 400 pages, the
+  *      5 borderline-delta kinds pinned to exact match counts, delta-url
+  *      sets, and per-line block integrity — no golden is self-frozen.
   *
   * Usage: sbt "runMain graft.tools.GoldenParquet write [goldenDir]"
   */
@@ -85,10 +87,20 @@ object GoldenParquet {
       if (graft.pipeline.Extract(f.page, rotCfg).extracted_text != f.expected) bad += 1
     }
     require(bad == 0, s"REFUSING: colflow rotate != ground truth on $bad/140")
+    // standard-corpus variant anchor (VERDICT r4 item 5): 11 kinds must be
+    // byte-identical to generator ground truth on all 400 standard pages;
+    // the 5 kinds with legitimate borderline deltas must match their pinned
+    // count, pinned delta-url set, and pass block-integrity on every delta
+    // page — no self-frozen variant golden remains
+    graft.fixtures.VariantAnchor.allKinds.foreach { k =>
+      val err = graft.fixtures.VariantAnchor.check(k)
+      require(err == null, s"REFUSING: variant anchor: $err")
+    }
     println("double-entry gates green (400 standard + 200 adversarial + " +
       "140 fbsect + 140 cocoedge + 140 overwrap + 10 x 140 threshold-rule " +
       "corpora (nibhi/nickdim/wolfglob/fengpoly/kuwedge/meanc/otsubi/" +
-      "mokedge/gausstail/medspike) + 140 gausstail-gaussadaptive + 140 colflow)")
+      "mokedge/gausstail/medspike) + 140 gausstail-gaussadaptive + 140 " +
+      "colflow + 16-kind standard-corpus variant anchor)")
     if (mode != "write") return
 
     val spark = SparkSession.builder()
