@@ -57,21 +57,26 @@ object MultiJvmBench {
       // same machine state — robust to the slow external-memory drift that
       // makes independent sessions bracket [0.73, 0.85]. Order alternates
       // (AB, BA, AB, …) to cancel linear drift within a pair.
-      // Usage: MultiJvmBench paired <outJsonl> [pairs] [huntS] [docs]
-      // Usage: paired <outJsonl> [cleanPairs] [budgetS] [docs] [cleanCpuA] [cleanCpuB]
+      // Usage: paired <outJsonl> [cleanPairs] [budgetS] [docs] [floorCpuA] [floorCpuB]
       val outFile = Paths.get(if (args.length > 1) args(1) else "BENCH/multi_jvm_paired.jsonl")
       val pairs = if (args.length > 2) args(2).toInt else 8
       val budgetS = if (args.length > 3) args(3).toDouble else 2400.0
       val docs = if (args.length > 4) args(4).toLong else 1000000L
       // clean-pair acceptance: both sides' summed task CPU within ~12% of
-      // the measured clean floors (167 s for 1×8 on 1M docs, 744 s for 4×8
-      // on 4×1M). Contention on sub-pass timescales defeats plain pairing
-      // (first session: A-side CPU 172–340 under a sustained burst), so
-      // the LevelBench lesson applies at pair granularity: keep the pair
-      // loop running and ACCEPT only pairs whose own CPU says both sides
-      // ran clean — the artifact records every pair either way.
-      val cleanCpuA = if (args.length > 5) args(5).toDouble else 190.0
-      val cleanCpuB = if (args.length > 6) args(6).toDouble else 840.0
+      // the measured clean FLOORS (args 5/6 are the floors themselves —
+      // the ×1.12 margin is applied HERE, so a caller can no longer pass
+      // raw floors as cutoffs by mistake, which voided the r5b afternoon
+      // session). r4-engine floors on 1M docs: 167 s for 1×8, 744 s for
+      // 4×8; r5 byte-pipeline floors: ~103 / ~455. Contention on sub-pass
+      // timescales defeats plain pairing (first session: A-side CPU
+      // 172–340 under a sustained burst), so the LevelBench lesson applies
+      // at pair granularity: keep the pair loop running and ACCEPT only
+      // pairs whose own CPU says both sides ran clean — the artifact
+      // records every pair either way.
+      val floorCpuA = if (args.length > 5) args(5).toDouble else 167.0
+      val floorCpuB = if (args.length > 6) args(6).toDouble else 744.0
+      val cleanCpuA = floorCpuA * 1.12
+      val cleanCpuB = floorCpuB * 1.12
       val gen = graft.Bench.session("32")
       gen.sparkContext.setLogLevel("ERROR")
       val inputDir = graft.Bench.ensureInput(gen, docs)
@@ -207,9 +212,18 @@ object MultiJvmBench {
         // accept only pairs whose own CPU proves BOTH sides ran clean
         val clean = ra._2 <= cleanCpuA && rb._2 <= cleanCpuB
         if (clean) accepted += 1
+        // occupancy = task CPU / (cores × wall): how much of the wall was
+        // actual compute. A CPU-clean pair with low occupancy was
+        // descheduled by co-tenants (burns no jiffies) — the one
+        // contention mode the CPU-floor criterion cannot catch (the r5
+        // clean-pair eff spread correlates with occ_4ex at r = 0.73), so
+        // the record carries the evidence for post-hoc attribution.
+        val occA = ra._2 / (8.0 * ra._1)
+        val occB = rb._2 / (32.0 * rb._1)
         val line = f"""{"pair":$p,"order":"${if (aFirst) "AB" else "BA"}",""" +
           f""""wall_1ex_s":${ra._1}%.3f,"wall_4ex_s":${rb._1}%.3f,""" +
           f""""cpu_1ex_s":${ra._2}%.2f,"cpu_4ex_s":${rb._2}%.2f,""" +
+          f""""occ_1ex":$occA%.3f,"occ_4ex":$occB%.3f,""" +
           f""""gc_1ex_ms":${ra._3},"gc_4ex_ms":${rb._3},""" +
           f""""docs_1ex":${ra._4},"docs_4ex":${rb._4},""" +
           f""""pair_weak_eff":$eff%.4f,"clean":$clean,""" +
