@@ -47,6 +47,22 @@ object MultiJvmBench {
       f(11).toDouble + f(12).toDouble
     } catch { case scala.util.control.NonFatal(_) => 0.0 }
 
+  /** Read a worker's done-file record, retrying briefly while it is
+    * empty or truncated: the coordinator's exists-poll can land between
+    * the worker's file CREATE and its content write (observed once under
+    * load — r5e pair 1 parsed an empty record into NaN walls). A complete
+    * record is one JSON object line ending in '}'.
+    */
+  private def readDoneRecord(p: java.nio.file.Path): String = {
+    val deadline = System.nanoTime() + 5L * 1000000000L
+    var rec = ""
+    while ({
+      rec = new String(Files.readAllBytes(p), "UTF-8").trim
+      (rec.isEmpty || !rec.endsWith("}")) && System.nanoTime() < deadline
+    }) Thread.sleep(50)
+    rec
+  }
+
   final case class WorkerSpec(threads: Int, heap: String, sliceK: Int, sliceM: Int)
   final case class Config(name: String, workers: Seq[WorkerSpec])
 
@@ -154,7 +170,7 @@ object MultiJvmBench {
       }
       if (!allDone) sys.error(s"[$name] pass $pass timeout")
       val recs = specs.indices.map(id =>
-        new String(Files.readAllBytes(ctrl.resolve(s"done_${id}_$pass")), "UTF-8").trim)
+        readDoneRecord(ctrl.resolve(s"done_${id}_$pass")))
       def field(rec: String, k: String): Double =
         (s""""$k":(-?[0-9.]+)""").r.findFirstMatchIn(rec)
           .map(_.group(1).toDouble).getOrElse(Double.NaN)
@@ -327,7 +343,7 @@ object MultiJvmBench {
           iwb >= 0 && iwa >= 0
 
         val recs = cfg.workers.indices.map { id =>
-          new String(Files.readAllBytes(ctrl.resolve(s"done_${id}_$pass")), "UTF-8").trim
+          readDoneRecord(ctrl.resolve(s"done_${id}_$pass"))
         }
         // cross-JVM wall: earliest epoch start → latest epoch end
         def field(rec: String, k: String): Double = {
