@@ -53,7 +53,7 @@ object MultiJvmBench {
     * load — r5e pair 1 parsed an empty record into NaN walls). A complete
     * record is one JSON object line ending in '}'.
     */
-  private def readDoneRecord(p: java.nio.file.Path): String = {
+  private[tools] def readDoneRecord(p: java.nio.file.Path): String = {
     val deadline = System.nanoTime() + 5L * 1000000000L
     var rec = ""
     while ({
