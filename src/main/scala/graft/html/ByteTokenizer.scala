@@ -95,6 +95,9 @@ object ByteTokenizer {
     var segStr = new Array[String](16)
     var byteBuf = new Array[Byte](4096)
     var blockBuf = new Array[Block](128)
+    // isolated-\t..\r hole positions within one bulk copy run (fused flush);
+    // a run with more holes than this simply splits into several bulk runs
+    val patchBuf = new Array[Int](128)
   }
   private val scratchTL: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
@@ -239,6 +242,7 @@ object ByteTokenizer {
     // is an intrinsic); bulkEnd = last index where a full word fits
     private val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     private val bulkEnd = nB - 7
+    private val patchBuf = scratch.patchBuf
 
     private def addBlock(b: Block): Unit = {
       if (blockN == blockBuf.length) {
@@ -563,6 +567,8 @@ object ByteTokenizer {
               var sp = 0
               var carry = if (buf(fLen - 1) == ' ') 0x80L else 0L
               var go = true
+              val patch = patchBuf
+              var patchN = 0
               while (go && i < bulkEnd) {
                 val v = bb.getLong(i)
                 val w = v & ~HIGH
@@ -570,19 +576,45 @@ object ByteTokenizer {
                 val wsOther = geMask(w, 9) & ltMask(w, 14) // \t \n \v \f \r
                 val ctl = ltMask(w, 9) | (geMask(w, 14) & ltMask(w, 0x20)) |
                   eqMask(w, 0x7f)
-                val dbl = spaceM & ((spaceM << 8) | carry)
-                val stop = (v & HIGH) | wsOther | ctl | dbl
-                if (stop == 0L && i + 8 < e) {
-                  sp += java.lang.Long.bitCount(spaceM)
-                  carry = if ((spaceM & (1L << 63)) != 0L) 0x80L else 0L
+                // an ISOLATED \t..\r canonicalizes to exactly one ' ' — it is
+                // copied as-is and the hole patched to ' ' after the
+                // arraycopy (positions recorded below). Only ADJACENT
+                // whitespace (a collapsing run, over space and \t..\r alike)
+                // still stops the bulk; retractTrailingSpace keeps patches at
+                // a stop edge exact, same as it does for trailing spaces.
+                val wsAll = spaceM | wsOther
+                val dbl = wsAll & ((wsAll << 8) | carry)
+                val stop = (v & HIGH) | ctl | dbl
+                if (stop == 0L && i + 8 < e && patchN < patch.length - 8) {
+                  var m = wsOther
+                  while (m != 0L) {
+                    patch(patchN) = (i - runStart) +
+                      (java.lang.Long.numberOfTrailingZeros(m) >>> 3)
+                    patchN += 1
+                    m &= m - 1
+                  }
+                  sp += java.lang.Long.bitCount(wsAll)
+                  carry = if ((wsAll & (1L << 63)) != 0L) 0x80L else 0L
                   i += 8
                 } else {
                   var k =
                     if (stop == 0L) 8
                     else java.lang.Long.numberOfTrailingZeros(stop) >>> 3
                   if (i + k > e) k = e - i
-                  sp += java.lang.Long.bitCount(
-                    spaceM & (if (k == 8) -1L else (1L << (8 * k)) - 1))
+                  val pre = if (k == 8) -1L else (1L << (8 * k)) - 1
+                  var m = wsOther & pre
+                  while (m != 0L && patchN < patch.length) {
+                    patch(patchN) = (i - runStart) +
+                      (java.lang.Long.numberOfTrailingZeros(m) >>> 3)
+                    patchN += 1
+                    m &= m - 1
+                  }
+                  if (m != 0L) { // patch buffer full: retreat to the first unpatched hole
+                    k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
+                    sp += java.lang.Long.bitCount(wsAll & ((1L << (8 * k)) - 1))
+                  } else {
+                    sp += java.lang.Long.bitCount(wsAll & pre)
+                  }
                   i += k
                   go = false
                 }
@@ -590,6 +622,8 @@ object ByteTokenizer {
               if (i > runStart) {
                 val n = i - runStart
                 System.arraycopy(bytes, runStart, buf, fLen, n)
+                var p = 0
+                while (p < patchN) { buf(fLen + patch(p)) = ' '; p += 1 }
                 fSpaces += sp
                 if (inL) { fLchars += n; fLspaces += sp }
                 fLen += n
@@ -603,6 +637,11 @@ object ByteTokenizer {
               fPending = true
               if (inL) fLpending = true
               i += 1
+              // tight ws-run skip: every further ASCII ws byte of the run
+              // leaves the state machine exactly where it is (pending set,
+              // nothing emitted), so don't bounce through the bulk-entry
+              // checks and a no-op retract per byte
+              while (i < e && CLS(bytes(i) & 0xff) == 0) i += 1
             } else if (cls == 2) { // control: removed
               i += 1
             } else if (cls >= 5) {
