@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseG1GC")}",
+  // commit the whole heap at startup: lazy heap-page commit across several
+  // concurrent JVMs is a measured 6-40x CPU storm on this VM (fault/TLB-
+  // shootdown pileup; see BENCH/BASELINE.md round-5 cluster diagnosis)
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.getOrElse("GRAFT_JVM_EXTRA", "").split(" ").filter(_.nonEmpty)

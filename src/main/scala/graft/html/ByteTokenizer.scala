@@ -922,8 +922,9 @@ object ByteTokenizer {
                 val m = (v & HIGH) | eqMask(w, '-')
                 if (m == 0L) { cOff += 8; j += 8; bulked = true }
                 else {
+                  // partial advance falls through to the per-byte check
                   val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
-                  if (k > 0) { cOff += k; j += k; bulked = true }
+                  cOff += k; j += k
                 }
               }
               if (!bulked) {
@@ -1000,8 +1001,11 @@ object ByteTokenizer {
                     else (v & HIGH) | eqMask(w, '"') | eqMask(w, '\'') | eqMask(w, '>')
                   if (m == 0L) { cOff += 8; j += 8; bulked = true }
                   else {
+                    // partial advance FALLS THROUGH to the per-byte dispatch
+                    // for the stopping byte — a second bulk attempt there
+                    // would just recompute the same masks to learn k = 0
                     val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
-                    if (k > 0) { cOff += k; j += k; bulked = true }
+                    cOff += k; j += k
                   }
                 }
                 if (!bulked) {
@@ -1035,8 +1039,9 @@ object ByteTokenizer {
                       val m = (v & HIGH) | eqMask(w, '<')
                       if (m == 0L) { cOff += 8; k += 8; bulked = true }
                       else {
+                        // partial advance falls through to the per-byte check
                         val kk = java.lang.Long.numberOfTrailingZeros(m) >>> 3
-                        if (kk > 0) { cOff += kk; k += kk; bulked = true }
+                        cOff += kk; k += kk
                       }
                     }
                     if (!bulked) {
@@ -1095,8 +1100,9 @@ object ByteTokenizer {
                 val m = (v & HIGH) | eqMask(w, '<') | eqMask(w, '&')
                 if (m == 0L) { cOff += 8; j += 8; bulked = true }
                 else {
+                  // partial advance falls through to the per-byte dispatch
                   val k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
-                  if (k > 0) { cOff += k; j += k; bulked = true }
+                  cOff += k; j += k
                 }
               }
               if (!bulked) {
@@ -1134,7 +1140,9 @@ object ByteTokenizer {
                       ((63 - java.lang.Long.numberOfLeadingZeros(visM)) >>> 3) + 1
                   }
                   cOff += k; j += k
-                  bulked = true
+                  // a clean word continues bulk; a partial advance falls
+                  // through to the per-byte dispatch for the stopping byte
+                  bulked = k == 8
                 }
               }
               if (!bulked && scanning && j < nB) {

@@ -134,6 +134,10 @@ object MultiJvmBench {
     private val cp = System.getProperty("java.class.path")
     val procs: Seq[Process] = specs.zipWithIndex.map { case (w, id) =>
       val cmd = (Seq(javaBin, s"-Xmx${w.heap}", s"-Xms${w.heap}", "-XX:+UseG1GC",
+        // commit the whole heap at startup: lazy heap-page commit across
+        // several concurrent JVMs is a measured 6-40x CPU storm on this VM
+        // (TLB-shootdown/fault pileup, BENCH r5 cluster diagnosis)
+        "-XX:+AlwaysPreTouch",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
         addOpens ++
         Seq("-cp", cp, "graft.tools.MultiJvmWorker",
@@ -274,6 +278,10 @@ object MultiJvmBench {
     System.err.println(s"[${cfg.name}] launching ${cfg.workers.length} worker JVM(s)")
     val procs = cfg.workers.zipWithIndex.map { case (w, id) =>
       val cmd = (Seq(javaBin, s"-Xmx${w.heap}", s"-Xms${w.heap}", "-XX:+UseG1GC",
+        // commit the whole heap at startup: lazy heap-page commit across
+        // several concurrent JVMs is a measured 6-40x CPU storm on this VM
+        // (TLB-shootdown/fault pileup, BENCH r5 cluster diagnosis)
+        "-XX:+AlwaysPreTouch",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
         addOpens ++
         Seq("-cp", cp, "graft.tools.MultiJvmWorker",
