@@ -152,6 +152,49 @@ class ByteTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("whitespace-torture equivalence (hole-patched bulk copy paths)") {
+    // targets the r5 fused-flush bulk path that patches ISOLATED \t..\r
+    // bytes to ' ' inside the word copy: isolated vs adjacent ws of every
+    // ASCII kind, ws at word-lane boundaries, leading/trailing ws, ws
+    // inside links (link-counter retraction), and a >128-hole block that
+    // forces the patch-buffer-full retreat branch
+    val wsChars = Array(' ', '\t', '\n', '\u000b', '\f', '\r')
+    val rng = new Random(20260818L)
+    var k = 0
+    while (k < 300) {
+      val sb = new StringBuilder("<html><body>")
+      val inLink = rng.nextInt(3) == 0
+      if (inLink) sb.append("<p><a href=\"/x\">") else sb.append("<p>")
+      val words = 1 + rng.nextInt(30)
+      var w = 0
+      while (w < words) {
+        if (rng.nextInt(5) == 0) sb.append(wsChars(rng.nextInt(6))) // leading/extra ws
+        sb.append("w").append(('a' + rng.nextInt(26)).toChar.toString * (1 + rng.nextInt(12)))
+        val run = 1 + (if (rng.nextInt(4) == 0) rng.nextInt(4) else 0)
+        var r = 0
+        while (r < run) { sb.append(wsChars(rng.nextInt(6))); r += 1 }
+        w += 1
+      }
+      if (inLink) sb.append("</a> tail</p>") else sb.append("</p>")
+      sb.append("</body></html>")
+      assertBlocksEqual(s"ws-$k", sb.toString.getBytes(StandardCharsets.UTF_8))
+      k += 1
+    }
+    // >128 isolated newlines in ONE block: the per-run patch buffer (128)
+    // fills and the bulk must retreat to the first unpatched hole exactly
+    val big = new StringBuilder("<html><body><p>")
+    var i = 0
+    while (i < 400) { big.append("word").append(i % 10).append('\n'); i += 1 }
+    big.append("</p></body></html>")
+    assertBlocksEqual("ws-overflow", big.toString.getBytes(StandardCharsets.UTF_8))
+    // same but tab-separated and with a trailing-space edge per 8-byte lane
+    val lanes = new StringBuilder("<html><body><p>")
+    i = 0
+    while (i < 64) { lanes.append("abcdefg".substring(0, 1 + i % 7)).append('\t'); i += 1 }
+    lanes.append("end</p></body></html>")
+    assertBlocksEqual("ws-lanes", lanes.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   test("byte path engages on the clean corpus (not vacuous)") {
     // the differential tests are meaningless if utf8Plan never fires;
     // assert the fast path actually covers the bulk of the bench corpus
