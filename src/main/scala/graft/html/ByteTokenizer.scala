@@ -1089,15 +1089,18 @@ object ByteTokenizer {
           var lastCEnd = -1
           var ascii = true
           if (suppressDepth > 0) {
+            // suppressed text never emits (appendRun/appendDecoded both
+            // no-op), and an entity's SOURCE bytes are pure ASCII — one
+            // UTF-16 unit each, exactly what the bulk counter already adds.
+            // So '&' is NOT special here (scripts are full of '&&'); the
+            // scan stops only at '<' and multi-byte leads.
             var scanning = true
             while (scanning && j < nB) {
-              // SWAR bulk: skip whole words of ASCII until '<' / '&' / a
-              // multi-byte lead; each skipped ASCII byte is one UTF-16 unit
               var bulked = false
               if (j < bulkEnd) {
                 val v = bb.getLong(j)
                 val w = v & ~HIGH
-                val m = (v & HIGH) | eqMask(w, '<') | eqMask(w, '&')
+                val m = (v & HIGH) | eqMask(w, '<')
                 if (m == 0L) { cOff += 8; j += 8; bulked = true }
                 else {
                   // partial advance falls through to the per-byte dispatch
@@ -1108,8 +1111,8 @@ object ByteTokenizer {
               if (!bulked) {
                 val b = bytes(j) & 0xff
                 val cls = CLS(b)
-                if (cls == 3 || cls == 4) scanning = false
-                else if (cls <= 2) { cOff += 1; j += 1 }
+                if (cls == 3) scanning = false
+                else if (cls <= 2 || cls == 4) { cOff += 1; j += 1 }
                 else { cOff += (if (cls == 7) 2 else 1); j += cls - 3 } // 5→2, 6→3, 7→4 bytes
               }
             }

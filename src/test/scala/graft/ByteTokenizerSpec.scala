@@ -124,6 +124,8 @@ class ByteTokenizerSpec extends AnyFunSuite {
       "<h2>Header \u2014 dash \u2026</h2>",
       "<blockquote cite='\u00fcml'>bq</blockquote>",
       "<noscript>suppressed text</noscript>",
+      "<noscript>if (a &amp;&amp; b) x &lt; y; &unknown &#233;</noscript>",
+      "<noscript>amp at close&</noscript>after",
       "<custom-elem>custom</custom-elem>",
       "<p>\u2028line sep\u2029para sep</p>",
       "<head><meta charset=\"utf-8\"><title>T</title></head>",
