@@ -34,8 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseG1GC")}",
+) ++ (
   // commit the whole heap at startup: lazy heap-page commit across several
   // concurrent JVMs is a measured 6-40x CPU storm on this VM (fault/TLB-
-  // shootdown pileup; see BENCH/BASELINE.md round-5 cluster diagnosis)
-  "-XX:+AlwaysPreTouch",
+  // shootdown pileup; see BENCH/BASELINE.md round-5 cluster diagnosis).
+  // Pre-touch makes -Xms a HARD physical-RAM requirement, so machines with
+  // less RAM than SPARK_DRIVER_MEM can opt out with GRAFT_NO_PRETOUCH=1.
+  if (sys.env.contains("GRAFT_NO_PRETOUCH")) Seq.empty
+  else Seq("-XX:+AlwaysPreTouch")
 ) ++ sys.env.getOrElse("GRAFT_JVM_EXTRA", "").split(" ").filter(_.nonEmpty)

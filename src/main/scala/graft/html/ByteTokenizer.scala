@@ -602,19 +602,19 @@ object ByteTokenizer {
                     else java.lang.Long.numberOfTrailingZeros(stop) >>> 3
                   if (i + k > e) k = e - i
                   val pre = if (k == 8) -1L else (1L << (8 * k)) - 1
+                  // capacity invariant: the fast path above runs only while
+                  // patchN < length-8, and a word can hold at most 4 isolated
+                  // holes (adjacent ws trips the dbl stop), so patchN here is
+                  // ≤ length-8+3 and this word's ≤4 more always fit — the
+                  // buffer cannot overflow (length 128 ≥ 120+8)
                   var m = wsOther & pre
-                  while (m != 0L && patchN < patch.length) {
+                  while (m != 0L) {
                     patch(patchN) = (i - runStart) +
                       (java.lang.Long.numberOfTrailingZeros(m) >>> 3)
                     patchN += 1
                     m &= m - 1
                   }
-                  if (m != 0L) { // patch buffer full: retreat to the first unpatched hole
-                    k = java.lang.Long.numberOfTrailingZeros(m) >>> 3
-                    sp += java.lang.Long.bitCount(wsAll & ((1L << (8 * k)) - 1))
-                  } else {
-                    sp += java.lang.Long.bitCount(wsAll & pre)
-                  }
+                  sp += java.lang.Long.bitCount(wsAll & pre)
                   i += k
                   go = false
                 }

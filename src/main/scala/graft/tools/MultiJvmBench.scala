@@ -130,23 +130,8 @@ object MultiJvmBench {
     */
   private final class Group(val name: String, specs: Seq[WorkerSpec], inputDir: String) {
     val ctrl: java.nio.file.Path = Files.createTempDirectory(s"graft_mj_${name}_")
-    private val javaBin = System.getProperty("java.home") + "/bin/java"
-    private val cp = System.getProperty("java.class.path")
     val procs: Seq[Process] = specs.zipWithIndex.map { case (w, id) =>
-      val cmd = (Seq(javaBin, s"-Xmx${w.heap}", s"-Xms${w.heap}", "-XX:+UseG1GC",
-        // commit the whole heap at startup: lazy heap-page commit across
-        // several concurrent JVMs is a measured 6-40x CPU storm on this VM
-        // (TLB-shootdown/fault pileup, BENCH r5 cluster diagnosis)
-        "-XX:+AlwaysPreTouch",
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
-        addOpens ++
-        Seq("-cp", cp, "graft.tools.MultiJvmWorker",
-          w.threads.toString, w.heap, inputDir,
-          w.sliceK.toString, w.sliceM.toString, ctrl.toString, id.toString))
-      new ProcessBuilder(cmd: _*)
-        .redirectOutput(ctrl.resolve(s"worker_$id.out").toFile)
-        .redirectError(ctrl.resolve(s"worker_$id.err").toFile)
-        .start()
+      launchWorker(w, id, inputDir, ctrl)
     }
     val pids: Seq[Long] = procs.map(_.pid())
     def waitReady(pass: Int): Unit = {
@@ -259,6 +244,29 @@ object MultiJvmBench {
     System.err.println(s"paired bench complete -> $outFile ($accepted clean pairs)")
   }
 
+  /** The ONE definition of a worker JVM launch (both bench modes MUST run
+    * identical JVM configs or paired comparisons are void). Xms pinned to
+    * Xmx and -XX:+AlwaysPreTouch: lazy heap-page commit across several
+    * concurrent JVMs is a measured 6-40x CPU storm on this VM
+    * (TLB-shootdown/fault pileup, BENCH r5 cluster diagnosis).
+    */
+  private def launchWorker(w: WorkerSpec, id: Int, inputDir: String,
+      ctrl: java.nio.file.Path): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = (Seq(javaBin, s"-Xmx${w.heap}", s"-Xms${w.heap}", "-XX:+UseG1GC",
+      "-XX:+AlwaysPreTouch",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+      addOpens ++
+      Seq("-cp", cp, "graft.tools.MultiJvmWorker",
+        w.threads.toString, w.heap, inputDir,
+        w.sliceK.toString, w.sliceM.toString, ctrl.toString, id.toString))
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(ctrl.resolve(s"worker_$id.out").toFile)
+      .redirectError(ctrl.resolve(s"worker_$id.err").toFile)
+      .start()
+  }
+
   // the same JPMS opens spark needs on JDK 17 (mirrors build.sbt)
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -273,24 +281,9 @@ object MultiJvmBench {
   def runConfig(cfg: Config, inputDir: String, outFile: java.nio.file.Path,
       passes: Int, huntS: Double): Unit = {
     val ctrl = Files.createTempDirectory(s"graft_mj_${cfg.name}_")
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
     System.err.println(s"[${cfg.name}] launching ${cfg.workers.length} worker JVM(s)")
     val procs = cfg.workers.zipWithIndex.map { case (w, id) =>
-      val cmd = (Seq(javaBin, s"-Xmx${w.heap}", s"-Xms${w.heap}", "-XX:+UseG1GC",
-        // commit the whole heap at startup: lazy heap-page commit across
-        // several concurrent JVMs is a measured 6-40x CPU storm on this VM
-        // (TLB-shootdown/fault pileup, BENCH r5 cluster diagnosis)
-        "-XX:+AlwaysPreTouch",
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
-        addOpens ++
-        Seq("-cp", cp, "graft.tools.MultiJvmWorker",
-          w.threads.toString, w.heap, inputDir,
-          w.sliceK.toString, w.sliceM.toString, ctrl.toString, id.toString))
-      new ProcessBuilder(cmd: _*)
-        .redirectOutput(ctrl.resolve(s"worker_$id.out").toFile)
-        .redirectError(ctrl.resolve(s"worker_$id.err").toFile)
-        .start()
+      launchWorker(w, id, inputDir, ctrl)
     }
     val pids = procs.map(_.pid())
     try {

@@ -182,8 +182,11 @@ class ByteTokenizerSpec extends AnyFunSuite {
       assertBlocksEqual(s"ws-$k", sb.toString.getBytes(StandardCharsets.UTF_8))
       k += 1
     }
-    // >128 isolated newlines in ONE block: the per-run patch buffer (128)
-    // fills and the bulk must retreat to the first unpatched hole exactly
+    // 400 isolated newlines in ONE block: the per-run patch budget (the
+    // fast path stops admitting words at length-8 = 120 recorded holes)
+    // forces the bulk run to SPLIT several times mid-block; every split
+    // seam must hand the trailing patched space to the next run's
+    // carry/retract machinery exactly
     val big = new StringBuilder("<html><body><p>")
     var i = 0
     while (i < 400) { big.append("word").append(i % 10).append('\n'); i += 1 }
