@@ -132,9 +132,17 @@ object Bench {
     import spark.implicits._
     val pages = spark.read.parquet(paths: _*).as[graft.core.PageRow]
     val t0 = System.nanoTime()
+    // The text probe is octet_length (UTF8String.numBytes, O(1)), NOT
+    // length(): char-length calls numChars — a per-byte recount of every
+    // output string that measured 12 ns/char (EncProbe, ~15-20 CPU-s per 1M
+    // docs at local[8]) for an aggregate the bench never even returned. The
+    // column still crosses the encoder (the sum reads it), so the pass still
+    // pays the real serialize cost the production write pays; it just stops
+    // re-deriving a statistic the real job never computes (bench-definition
+    // change documented in BENCH/BASELINE.md round 5).
     val agg = ExtractJob.extract(pages)
       .agg(count(lit(1)).as("docs"), sum($"stats.htmlBytes").as("bytes"),
-        sum(length($"extracted_text")).as("textChars"))
+        sum(octet_length($"extracted_text")).as("textBytes"))
       .collect()(0)
     val sec = (System.nanoTime() - t0) / 1e9
     (sec, agg.getLong(0), agg.getLong(1))

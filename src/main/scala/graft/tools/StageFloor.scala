@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *   prescan  + UTF-8 validation / garbage-count pass (Decode.utf8Plan +
   *            ByteTokenizer.prescan)
   *   tok      + full byte tokenizer (blocks materialized, Canon flush)
-  *   full     the measured bench pass (classify/artifacts/boundary/finish +
-  *            ExtractedDoc serialization + agg)
+  *   pipe     + the whole per-row pipeline (classify/artifacts/boundary/
+  *            assemble/stats), counters-only output — no Dataset encoding
+  *   full     the measured bench pass: `full` − `pipe` is the ExtractedDoc
+  *            encoder (SerializeFromObject) + aggregate + result plumbing
+  *            (see EncProbe for the single-thread decomposition of that term)
   *
   * The delta between consecutive rows is the marginal CPU of that stage at
   * the target parallelism — the number that decides where the next
@@ -80,6 +83,19 @@ object StageFloor {
               }
             }
             s += b.length
+          }
+          Iterator.single(s)
+        }.reduce(_ + _)),
+      "pipe" -> (() =>
+        // the WHOLE per-row pipeline (classify/artifacts/boundary/assemble/
+        // stats included), counters-only output: the marginal over `tok` is
+        // the Scala-side finish; `full` minus `pipe` is the Dataset encoder
+        // (ExtractedDoc SerializeFromObject) + aggregate + result plumbing
+        pageRows().mapPartitions { it =>
+          var s = 0L
+          it.foreach { r =>
+            val d = graft.pipeline.Extract(r)
+            s += d.extracted_text.length.toLong + d.spans.length
           }
           Iterator.single(s)
         }.reduce(_ + _)),
