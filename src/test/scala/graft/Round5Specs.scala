@@ -289,3 +289,35 @@ class StreamLatestDedupSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Scale guard: the 100 TB extraction job's physical plan must stay a
+  * zero-exchange narrow map — parquet scan → mapPartitions → serialize.
+  * Any future change that sneaks a shuffle into the per-doc path (a
+  * repartition, a window, a join) fails here before it fails at 10^12 rows
+  * (PLANS.md "the scale-critical decision").
+  */
+class ExtractPlanSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+  test("ExtractJob.extract plan has no Exchange and scans parquet directly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_in").toString
+    spark.createDataset(graft.spark.PageSource.pages(spark, 50L).collect().toSeq)
+      .write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir).as[graft.core.PageRow]
+    val docs = graft.spark.ExtractJob.extract(pages)
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"extraction plan grew a shuffle:\n$plan")
+    assert(plan.contains("FileScan parquet") || plan.contains("BatchScan"),
+      s"extraction no longer scans parquet directly:\n$plan")
+    assert(docs.count() == 50) // the plan actually executes
+  }
+}
