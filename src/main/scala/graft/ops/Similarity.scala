@@ -33,6 +33,10 @@ object Similarity {
       cId: String = "vec_id", cVec: String = "dv"): DataFrame = {
     val scored = queries.join(corpus, col(cId) =!= col(qId))
       .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+      // project BEFORE the rank exchange (guide §2.3): the window only needs
+      // (qId, cId, score) — without this the per-pair shuffle carries both
+      // embedding vectors, dim× more bytes than the result needs
+      .select(col(qId), col(cId), col("score"))
     val w = Window.partitionBy(qId).orderBy(desc("score"), asc(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -159,6 +163,8 @@ object Similarity {
     // exact search within probed cells
     val scored = probes.join(cells, Seq("cell")).filter(col(cId) =!= col(qId))
       .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+      // drop both vectors before the rank exchange (guide §2.3)
+      .select(col(qId), col(cId), col("score"))
     val w = Window.partitionBy(qId).orderBy(desc("score"), asc(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -177,6 +183,9 @@ object Similarity {
     val cb = corpus.withColumn("bucket", lshBucket(col(cVec), nPlanes))
     val scored = qb.join(cb, Seq("bucket")).filter(col(cId) =!= col(qId))
       .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+      // drop both vectors before the rank exchange (guide §2.3): per
+      // candidate pair only (qId, cId, score) ride the qId shuffle
+      .select(col(qId), col(cId), col("score"))
     val w = Window.partitionBy(qId).orderBy(desc("score"), asc(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import RelationalQueries.OrderedOps
 import graft.spark.{ExtractJob, PageSource}
 import graft.pipeline.Extract
 import graft.classify.Classifiers
@@ -66,16 +67,16 @@ object PipelineQueries {
       col("status"),
       col("stats.nBlocks").as("n_blocks"), col("stats.nKept").as("n_kept"),
       col("stats.charset").as("charset"))
-      .orderBy("url")
+      .orderedExchanged("url")
 
   /** Charset-detection distribution (formatConvert edge). */
   def qDecodeCharsets(spark: SparkSession, dir: String): DataFrame =
     docs(spark).groupBy(col("stats.charset").as("charset"))
-      .agg(count(lit(1)).as("n")).orderBy("charset")
+      .agg(count(lit(1)).as("n")).orderedFused("charset")
 
   /** Quarantine routing (guards §2.1). */
   def qQuarantine(spark: SparkSession, dir: String): DataFrame =
-    docs(spark).groupBy(col("status")).agg(count(lit(1)).as("n")).orderBy("status")
+    docs(spark).groupBy(col("status")).agg(count(lit(1)).as("n")).orderedFused("status")
 
   /** Tokenizer features: per-doc block counts + signal stats (html → blocks,
     * the pixel-grid analogue).
@@ -92,7 +93,7 @@ object PipelineQueries {
         sig.count(_ >= 255.0),
         toks.blocks.count(b => Classifiers.linkDensity(b) > 0.66))
     }.toDF("url", "n_blocks", "max_signal", "n_saturated", "n_linkdense")
-      .orderBy("url")
+      .orderedExchanged("url")
   }
 
   /** One query per classifier kind — the full §2.3 family breadth exercised
@@ -103,7 +104,7 @@ object PipelineQueries {
     */
   def classifierVariant(kind: String)(spark: SparkSession, dir: String): DataFrame = {
     val cfg = Extract.Config(classifier = Classifiers.kindConfig(kind))
-    hashShape(docs(spark, cfg)).drop("status").orderBy("url")
+    hashShape(docs(spark, cfg)).drop("status").orderedExchanged("url")
   }
 
   /** findHoughLineContour analogue: separator-frame boundary with contour
@@ -111,7 +112,7 @@ object PipelineQueries {
     */
   def qExtractHoughSep(spark: SparkSession, dir: String): DataFrame =
     hashShape(docs(spark, Extract.Config(boundaryKind = "separators")))
-      .drop("status").orderBy("url")
+      .drop("status").orderedExchanged("url")
 
   /** CLAHE-staged pipeline (EnhanceLocalContrastByCLAHE transplant,
     * imageLibCommon.cpp:327-395): tile-wise clipped signal equalization
@@ -120,14 +121,14 @@ object PipelineQueries {
   def qExtractClahe(spark: SparkSession, dir: String): DataFrame =
     hashShape(docs(spark, Extract.Config(
       classifier = Classifiers.Default.copy(clahe = true))))
-      .drop("status").orderBy("url")
+      .drop("status").orderedExchanged("url")
 
   /** findOrientation-gated pipeline: the 4-way doc-type decision selects the
     * classifier profile (deskew.cpp:70-136).
     */
   def qExtractProfiled(spark: SparkSession, dir: String): DataFrame =
     hashShape(docs(spark, Extract.Config(autoProfile = true)))
-      .drop("status").orderBy("url")
+      .drop("status").orderedExchanged("url")
 
   /** The orientation decision itself (url → doc type + confidences). */
   def qOrientation(spark: SparkSession, dir: String): DataFrame = {
@@ -139,7 +140,7 @@ object PipelineQueries {
       val d = graft.detect.Orientation.detect(toks.blocks)
       (p.url, d.docType,
         math.round(d.textConf * 10000), math.round(d.linkConf * 10000))
-    }.toDF("url", "doc_type", "text_conf_e4", "link_conf_e4").orderBy("url")
+    }.toDF("url", "doc_type", "text_conf_e4", "link_conf_e4").orderedExchanged("url")
   }
 
   /** Adversarial corpora under the polarity-safe kind: band + inverted pages
@@ -150,7 +151,7 @@ object PipelineQueries {
   def qExtractAdversarial(spark: SparkSession, dir: String): DataFrame = {
     val pages = PageSource.adversarialPages(spark, AdvN)
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = "nativeadaptive"))
-    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderedExchanged("url")
   }
 
   /** Region-classifier ground-truth corpora under their kinds (VERDICT r2
@@ -161,13 +162,13 @@ object PipelineQueries {
   def qExtractFbsect(spark: SparkSession, dir: String): DataFrame = {
     val pages = PageSource.fbsectPages(spark, RegN)
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = "fbcitb"))
-    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderedExchanged("url")
   }
 
   def qExtractCocoedge(spark: SparkSession, dir: String): DataFrame = {
     val pages = PageSource.cocoedgePages(spark, RegN)
     val cfg = Extract.Config(classifier = Classifiers.Config(kind = "cococlust"))
-    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderBy("url")
+    hashShape(ExtractJob.extract(pages, cfg).toDF()).orderedExchanged("url")
   }
 
   /** Threshold-rule ground-truth corpora under their kinds (VERDICT r3
@@ -182,7 +183,7 @@ object PipelineQueries {
       .find(_._1 == corpus).getOrElse(sys.error(s"unknown rule corpus $corpus"))
     val pages = PageSource.rulePages(spark, corpus, RegN)
     hashShape(ExtractJob.extract(pages, Extract.Config(classifier = ccfg)).toDF())
-      .orderBy("url")
+      .orderedExchanged("url")
   }
 
   /** rotate wired end-to-end (rotate.cpp:35-72 via Rotate.tableRuns, r4):
@@ -195,7 +196,7 @@ object PipelineQueries {
   def qExtractColflow(spark: SparkSession, dir: String): DataFrame = {
     val pages = PageSource.rulePages(spark, "colflow", RegN)
     hashShape(ExtractJob.extract(pages,
-      Extract.Config(rotate = 90, rotateCols = 3)).toDF()).orderBy("url")
+      Extract.Config(rotate = 90, rotateCols = 3)).toDF()).orderedExchanged("url")
   }
 
   /** gausstail under `gaussadaptive` — agt's twin without the median
@@ -204,7 +205,7 @@ object PipelineQueries {
   def qExtractGausstailG(spark: SparkSession, dir: String): DataFrame = {
     val pages = PageSource.rulePages(spark, "gausstail", RegN)
     hashShape(ExtractJob.extract(pages, Extract.Config(
-      classifier = Classifiers.Config(kind = "gaussadaptive"))).toDF()).orderBy("url")
+      classifier = Classifiers.Config(kind = "gaussadaptive"))).toDF()).orderedExchanged("url")
   }
 
   /** findAngle + rotate(−angle) over the over-wrapped corpus (deskew.cpp:
@@ -222,7 +223,7 @@ object PipelineQueries {
         md5(col("extracted_text").cast("binary")).as("text_md5"),
         col("stats.angle").as("angle"),
         col("stats.nBlocks").as("n_blocks"), col("stats.nKept").as("n_kept"))
-      .orderBy("url")
+      .orderedExchanged("url")
   }
 
   /** Boundary regions found per doc (autoCrop analogue §2.4). */
@@ -237,7 +238,7 @@ object PipelineQueries {
         case Some(r) => (p.url, r.lo, r.hi, true)
         case None => (p.url, -1, -1, false)
       }
-    }.toDF("url", "lo", "hi", "found").orderBy("url")
+    }.toDF("url", "lo", "hi", "found").orderedExchanged("url")
   }
 
   /** Multimodal binary-column plumbing (graft.ops.Multimodal): synthesize a
@@ -257,7 +258,7 @@ object PipelineQueries {
       (id, m.format, m.width.toLong, m.height.toLong, m.bytes,
         math.round(feat.sum * 10000).toLong)
     }.toDF("doc_id", "format", "width", "height", "bytes", "feat_sum_e4")
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
   }
 
   /** REAL image decode end-to-end: deterministic pixel pattern → valid PNG
@@ -281,7 +282,7 @@ object PipelineQueries {
       val (sr, sg, sb) = graft.ops.Multimodal.channelSums(px)
       (id, px.width.toLong, px.height.toLong, sr, sg, sb)
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
   }
 
   /** REAL audio decode end-to-end: deterministic PCM16 pattern → valid WAV
@@ -299,7 +300,7 @@ object PipelineQueries {
       val (sumAbs, peak, crossings) = graft.ops.Multimodal.audioStats(dec)
       (id, dec.samples.length.toLong, sumAbs, peak, crossings)
     }.toDF("doc_id", "n_samples", "sum_abs", "peak", "crossings")
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
   }
 
   /** REAL video decode end-to-end, independently verifiable: deterministic
@@ -330,7 +331,7 @@ object PipelineQueries {
         (id, s.frameIdx.toLong, s.width.toLong, s.height.toLong,
           s.sumR, s.sumG, s.sumB))
     }.toDF("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")
-      .orderBy("doc_id", "frame_idx")
+      .orderedExchanged("doc_id", "frame_idx")
   }
 
   /** REAL MJPEG-in-AVI decode (VERDICT r2 item 2): each `00dc` chunk is a
@@ -362,7 +363,7 @@ object PipelineQueries {
         (id, s.frameIdx.toLong, s.width.toLong, s.height.toLong,
           s.sumR, s.sumG, s.sumB))
     }.toDF("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")
-      .orderBy("doc_id", "frame_idx")
+      .orderedExchanged("doc_id", "frame_idx")
   }
 
   /** Resume anti-join shape (north-rule checkpoint-resume): pretend the
@@ -378,6 +379,6 @@ object PipelineQueries {
     val remaining = all.toDF()
       .join(doneUrls, all("url") === doneUrls("done_url"), "left_anti")
     ExtractJob.extract(remaining.as[graft.core.PageRow]).toDF()
-      .select(col("url"), col("status")).orderBy("url")
+      .select(col("url"), col("status")).orderedExchanged("url")
   }
 }

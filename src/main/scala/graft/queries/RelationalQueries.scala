@@ -26,6 +26,39 @@ object RelationalQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  // ---------------------------------------------------------------------
+  // Final deterministic ORDER BY, minus the range exchange (r6, guide §2.4:
+  // "an orderBy used only to make output deterministic" is a removable
+  // shuffle). Every query here ends in a global sort on a UNIQUE key purely
+  // so the oracle hash-compare is order-stable; `orderBy` plans that as a
+  // RangePartitioning exchange whose bounds come from a SAMPLING pass over
+  // the child RDD — when the child is a narrow scan/generate chain (not a
+  // materialized shuffle stage) the whole chain executes TWICE per action
+  // (measured: q_extract ran fixture-gen + extraction once for sampling and
+  // once for the shuffle, ~2× CPU). The output is tiny (bounded by the SF
+  // table), so the global sort is a single-task job:
+  //  - `orderedFused` (plan already ends in an agg/window exchange): fuse
+  //    the tiny post-shuffle stage into ONE task via coalesce(1) and sort
+  //    there — removes BOTH the range exchange and the sampling job.
+  //  - `orderedExchanged` (narrow chain from scan/generator): one
+  //    single-partition exchange (numPartitions=1 ⇒ no sampling) keeps the
+  //    upstream compute parallel, then sorts in the single reduce task.
+  // Rows and global order are IDENTICAL to orderBy (keys are unique).
+  // ---------------------------------------------------------------------
+  private[queries] implicit final class OrderedOps(private val df: DataFrame) {
+    /** Plan already ends in an agg/window exchange: fuse the tiny
+      * post-shuffle stage to ONE task and sort there.
+      */
+    def orderedFused(keys: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(keys.map(col): _*)
+    /** Narrow scan/generator chain: one single-partition exchange
+      * (no sampling) keeps upstream compute parallel; sort in the single
+      * reduce task.
+      */
+    def orderedExchanged(keys: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(keys.map(col): _*)
+  }
+
   // shared window: the "block sequence" ±5 (integral-image scaffold §2.2)
   private val seqW = Window.partitionBy("source").orderBy("doc_id")
   private val winW = seqW.rowsBetween(-5, 5)
@@ -41,7 +74,7 @@ object RelationalQueries {
   def qWindowStats(spark: SparkSession, dir: String): DataFrame =
     withStats(docs(spark, dir))
       .select($c("doc_id"), round($c("m"), 4).as("wmean"), round($c("s"), 4).as("wstd"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   // ------------------------------------------------- §2.3 classifier family
 
@@ -50,21 +83,21 @@ object RelationalQueries {
       .withColumn("thr", round($c("m") * (lit(1.0) + lit(0.2) * ($c("s") / lit(128.0) - lit(1.0))), 4))
       .select($c("doc_id"), $c("thr"),
         when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qNiblack(spark: SparkSession, dir: String): DataFrame =
     withStats(docs(spark, dir))
       .withColumn("thr", round($c("m") + lit(0.2) * $c("s"), 4))
       .select($c("doc_id"), $c("thr"),
         when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qNick(spark: SparkSession, dir: String): DataFrame =
     withStats(docs(spark, dir))
       .withColumn("thr", round($c("m") - lit(0.1) * sqrt($c("m") * $c("m") + $c("s") * $c("s")), 4))
       .select($c("doc_id"), $c("thr"),
         when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qWolfJolion(spark: SparkSession, dir: String): DataFrame =
     withStats(docs(spark, dir))
@@ -72,7 +105,7 @@ object RelationalQueries {
       .withColumn("mn", min($c("n_chars")).over(srcW))
       .withColumn("thr", round($c("m") + lit(0.5) * ($c("s") / $c("smax") - lit(1.0)) * ($c("m") - $c("mn")), 4))
       .select($c("doc_id"), $c("thr"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qFeng(spark: SparkSession, dir: String): DataFrame = {
     val d = withStats(docs(spark, dir))
@@ -84,7 +117,7 @@ object RelationalQueries {
     d.withColumn("thr",
       round(lit(0.25) * $c("m") + $c("a2") * $c("sr") * ($c("m") - $c("mn")) + $c("a3") * $c("mn"), 4))
       .select($c("doc_id"), $c("thr"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qMeanAdaptive(spark: SparkSession, dir: String): DataFrame =
@@ -92,7 +125,7 @@ object RelationalQueries {
       .withColumn("thr", round($c("m") - lit(10.0), 4))
       .select($c("doc_id"), $c("thr"),
         when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qGaussAdaptive(spark: SparkSession, dir: String): DataFrame = {
     // 5-tap gaussian [.0545,.2442,.4026,.2442,.0545], border-replicate
@@ -105,7 +138,7 @@ object RelationalQueries {
       lit(0.0545) * ($c("l2") + $c("r2")) + lit(0.2442) * ($c("l1") + $c("r1")) + lit(0.4026) * $c("n_chars"))
       .withColumn("thr", round($c("gm") - lit(10.0), 4))
       .select($c("doc_id"), $c("thr"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qMedianMean(spark: SparkSession, dir: String): DataFrame = {
@@ -118,7 +151,7 @@ object RelationalQueries {
     d.withColumn("mm", avg($c("med3")).over(winW))
       .withColumn("thr", round($c("mm") - lit(10.0), 4))
       .select($c("doc_id"), $c("med3"), $c("thr"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qMokji(spark: SparkSession, dir: String): DataFrame = {
@@ -134,7 +167,7 @@ object RelationalQueries {
         (sum(when($c("mx") - $c("n_chars") >= 20, 2).otherwise(0))).as("den"))
       .select($c("source"), round(coalesce(
         $c("num") / when($c("den") === 0, lit(null)).otherwise($c("den")), lit(-1.0)), 4).as("thr"))
-      .orderBy("source")
+      .orderedFused("source")
   }
 
   def qOtsu(spark: SparkSession, dir: String): DataFrame = {
@@ -163,7 +196,7 @@ object RelationalQueries {
     cum.withColumn("rn", row_number().over(pick))
       .filter($c("rn") === 1)
       .select($c("source"), $c("bin").as("otsu_bin"))
-      .orderBy("source")
+      .orderedFused("source")
   }
 
   // --------------------------------------------- §2.3 post-pass / smoothing
@@ -176,7 +209,7 @@ object RelationalQueries {
     d.withColumn("sm", greatest(least($c("a"), $c("lab")),
       least(greatest($c("a"), $c("lab")), $c("c2"))))
       .select($c("doc_id"), $c("lab"), $c("sm"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qDilateErode(spark: SparkSession, dir: String): DataFrame = {
@@ -186,7 +219,7 @@ object RelationalQueries {
       .withColumn("dil", max($c("lab")).over(w1))
       .withColumn("ero", min($c("lab")).over(w1))
       .select($c("doc_id"), $c("lab"), $c("dil"), $c("ero"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   // ------------------------------------------------------ §2.5 artifacts
@@ -199,7 +232,7 @@ object RelationalQueries {
         when((($c("rn") <= $c("cnt") * 0.1) || ($c("rn") > $c("cnt") - $c("cnt") * 0.1)) &&
           $c("n_chars") < 150, 1).otherwise(0))
       .select($c("doc_id"), $c("dropped"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qRemoveRepeats(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -211,7 +244,7 @@ object RelationalQueries {
     d.withColumn("runlen", count(lit(1)).over(Window.partitionBy("source", "run_id")))
       .withColumn("kept", when($c("runlen") < 3, 1).otherwise(0))
       .select($c("doc_id"), $c("kept"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qTinyIsolated(spark: SparkSession, dir: String): DataFrame =
@@ -222,7 +255,7 @@ object RelationalQueries {
       .withColumn("dropped",
         when($c("small") === 1 && $c("ln") === 0 && $c("rn2") === 0, 1).otherwise(0))
       .select($c("doc_id"), $c("dropped"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   // ----------------------------------------------------- §2.1 photometric
 
@@ -230,7 +263,7 @@ object RelationalQueries {
     docs(spark, dir)
       .select($c("doc_id"),
         round(pow($c("n_chars") / lit(600.0), 2.2) * lit(255.0), 4).as("gamma_out"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
 
   def qWhiteBalance(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -239,7 +272,7 @@ object RelationalQueries {
     d.withColumn("clipped", least(greatest($c("n_chars").cast("double"), $c("p05")), $c("p95")))
       .select($c("doc_id"),
         round(($c("clipped") - $c("p05")) / ($c("p95") - $c("p05")), 4).as("wb"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   /** colorBalance (balanceColor.cpp:35-91; VERDICT r2 §2.1 partial row):
@@ -269,7 +302,7 @@ object RelationalQueries {
       round($c("v") - ($c("v") - $c("bb")) * $c("s"), 4).as("b_bal"),
       round($c("v") - ($c("v") - $c("g")) * $c("s"), 4).as("g_bal"),
       round($c("v") - ($c("v") - $c("rb")) * $c("s"), 4).as("r_bal"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   /** Salted distinct count (graft.ops.Skew — the north rule's "salting for
@@ -280,13 +313,13 @@ object RelationalQueries {
     */
   def qSaltedDistinct(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Skew.saltedDistinctCount(docs(spark, dir), "source", "text", saltBuckets = 8)
-      .orderBy("source")
+      .orderedFused("source")
 
   def qGrayWorld(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("rms", sqrt(avg($c("n_chars") * $c("n_chars")).over(srcW)))
     d.select($c("doc_id"), round($c("n_chars") / $c("rms"), 4).as("gw"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qScaleRange(spark: SparkSession, dir: String): DataFrame =
@@ -295,21 +328,21 @@ object RelationalQueries {
       .withColumn("mx", max($c("n_chars")).over(srcW))
       .select($c("doc_id"),
         round(($c("n_chars") - $c("mn")) / greatest($c("mx") - $c("mn"), lit(1)).cast("double"), 4).as("scaled"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qEqualizeHist(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("pr", percent_rank().over(
         Window.partitionBy("source").orderBy($c("n_chars"), $c("doc_id"))))
       .select($c("doc_id"), round($c("pr"), 4).as("rank_norm"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   def qHistogram(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("bucket", floor($c("n_chars") / lit(50.0)).cast("int"))
       .groupBy($c("source"), $c("bucket"))
       .agg(count(lit(1)).as("c"))
-      .orderBy("source", "bucket")
+      .orderedFused("source", "bucket")
 
   // -------------------------------------------------- §2.1/§2.6 text canon
 
@@ -319,7 +352,7 @@ object RelationalQueries {
       .select($c("doc_id"),
         size(split($c("canon"), " ")).as("n_tokens"),
         substring($c("canon"), 1, 60).as("head"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
 
   // ----------------------------------------------------- §2.7 detectors
 
@@ -334,11 +367,11 @@ object RelationalQueries {
         round(element_at($c("_qc"), 3) / $c("len"), 4).as("punct_ratio"),
         round(element_at($c("_qc"), 4) / $c("len"), 4).as("digit_ratio"),
         round(element_at($c("_qc"), 6) / $c("len"), 4).as("ws_ratio"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
   }
 
   def qLangGate(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).groupBy($c("lang")).agg(count(lit(1)).as("n")).orderBy("lang")
+    docs(spark, dir).groupBy($c("lang")).agg(count(lit(1)).as("n")).orderedFused("lang")
 
   // ------------------------------------------------ §2.9 joins / agg / topk
 
@@ -348,14 +381,14 @@ object RelationalQueries {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy($c("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("n"), min($c("o_orderkey")).as("min_ok"), max($c("o_orderkey")).as("max_ok"))
-      .orderBy("seg")
+      .orderedFused("seg")
   }
 
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = spark.read.parquet(s"$dir/orders.parquet")
     val c = spark.read.parquet(s"$dir/customer.parquet")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select($c("c_custkey")).orderBy("c_custkey")
+      .select($c("c_custkey")).orderedExchanged("c_custkey")
   }
 
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -363,7 +396,7 @@ object RelationalQueries {
     val c = spark.read.parquet(s"$dir/customer.parquet")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .groupBy($c("c_mktsegment").as("seg")).agg(count(lit(1)).as("n"))
-      .orderBy("seg")
+      .orderedFused("seg")
   }
 
   def qLineageAgg(spark: SparkSession, dir: String): DataFrame =
@@ -371,7 +404,7 @@ object RelationalQueries {
       .groupBy($c("source"))
       .agg(count(lit(1)).as("doc_count"), sum($c("n_chars")).as("chars"),
         min($c("doc_id")).as("mn"), max($c("doc_id")).as("mx"))
-      .orderBy("source")
+      .orderedFused("source")
 
   def qTopK(spark: SparkSession, dir: String): DataFrame = {
     val pick = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
@@ -379,13 +412,13 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(pick))
       .filter($c("rn") <= 3)
       .select($c("source"), $c("rn"), $c("doc_id"), $c("n_chars"))
-      .orderBy("source", "rn")
+      .orderedFused("source", "rn")
   }
 
   def qDistinctSources(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy($c("lang"))
       .agg(countDistinct($c("source")).as("n_sources"))
-      .orderBy("lang")
+      .orderedFused("lang")
 
   // --------------------------------------------- training-pipeline: dedup
 
@@ -394,10 +427,26 @@ object RelationalQueries {
       .select($c("doc_id"), md5($c("text").cast("binary")).as("h"))
       .groupBy($c("h"))
       .agg(count(lit(1)).as("c"), min($c("doc_id")).as("keeper"))
-      .orderBy("h")
+      .orderedFused("h")
 
   def qMinHash(spark: SparkSession, dir: String): DataFrame = {
+    // r6 note: a per-row array_min(transform(md5…)) rewrite (removing the
+    // explode + groupBy) was tried and MEASURED SLOWER (+30% CPU): Spark
+    // higher-order-function lambdas evaluate interpreted, while explode +
+    // min() partial aggregation runs whole-stage-codegen'd and map-side —
+    // the exchange carries only 4 digests/doc. Kept the codegen shape; only
+    // the final ORDER BY is restructured (orderedFused).
+    //
+    // The testdata table is ONE parquet row group — an unsplittable input
+    // (guide §2.5), so the explode + 4×md5/token partial aggregation ran as
+    // a single 290 ms task while 31 cores idled. Repartition right after
+    // the read (guide §2.5's prescribed fix), sized by defaultParallelism
+    // (scale-adaptive, never a constant; explicit N so AQE's coalescing
+    // does not undo it). At real scale the scan has natural splits and the
+    // shuffled bytes here are just the raw text column.
+    val para = spark.sparkContext.defaultParallelism
     val words = docs(spark, dir)
+      .repartition(para)
       .select($c("doc_id"), explode(array_distinct(split($c("text"), " "))).as("w"))
     words.groupBy($c("doc_id"))
       .agg(
@@ -406,18 +455,25 @@ object RelationalQueries {
         min(md5(concat($c("w"), lit("#2")).cast("binary"))).as("m2"),
         min(md5(concat($c("w"), lit("#3")).cast("binary"))).as("m3"))
       .withColumn("band", concat(substring($c("m0"), 1, 4), substring($c("m1"), 1, 4)))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // r6: the self-join partner (same source, doc_id+1) is — when it exists
+    // — necessarily the IMMEDIATE successor in (source, doc_id) order, since
+    // doc_id is unique within a source. So the equi-join (which shuffled the
+    // token arrays on BOTH sides and sort-merged them) collapses to one
+    // lead() window over a single hash exchange + a filter. Row set and
+    // values are identical (R6EquivSpec proves it query-for-query).
     val d = docs(spark, dir)
       .select($c("doc_id"), $c("source"), array_distinct(split($c("text"), " ")).as("toks"))
-    val d2 = d.select($c("doc_id").as("doc_id2"), $c("source").as("source2"), $c("toks").as("toks2"))
-    d.join(d2, d("doc_id") + 1 === d2("doc_id2") && d("source") === d2("source2"))
-      .withColumn("i", size(array_intersect($c("toks"), $c("toks2"))).cast("double"))
+      .withColumn("doc_id2", lead($c("doc_id"), 1).over(seqW))
+      .withColumn("toks2", lead($c("toks"), 1).over(seqW))
+      .filter($c("doc_id2") === $c("doc_id") + 1)
+    d.withColumn("i", size(array_intersect($c("toks"), $c("toks2"))).cast("double"))
       .withColumn("u", (size($c("toks")) + size($c("toks2"))).cast("double") - $c("i"))
       .select($c("doc_id"), round($c("i") / $c("u"), 4).as("jaccard"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   // ------------------------------------- training-pipeline: similarity/ANN
@@ -427,7 +483,7 @@ object RelationalQueries {
       .withColumn("dv", $c("embedding").cast("array<double>"))
       .select($c("vec_id"),
         round(sqrt(aggregate($c("dv"), lit(0.0), (acc, v) => acc + v * v)), 3).as("l2"))
-      .orderBy("vec_id")
+      .orderedExchanged("vec_id")
 
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("dv", $c("embedding").cast("array<double>"))
@@ -441,7 +497,7 @@ object RelationalQueries {
     scored.withColumn("rn", row_number().over(pick))
       .filter($c("rn") <= 3)
       .select($c("qid"), $c("rn"), $c("vec_id"), $c("dot"))
-      .orderBy("qid", "rn")
+      .orderedFused("qid", "rn")
   }
 
   def qLshBucket(spark: SparkSession, dir: String): DataFrame = {
@@ -460,7 +516,7 @@ object RelationalQueries {
     e.select($c("vec_id"), planeDot(0).as("d0"), planeDot(17).as("d1"))
       .select($c("vec_id"),
         (when($c("d0") > 0, 2).otherwise(0) + when($c("d1") > 0, 1).otherwise(0)).as("bucket"))
-      .orderBy("vec_id")
+      .orderedExchanged("vec_id")
   }
 
   /** FULL 1-D anisotropic Kuwahara (kuwaharaFilter.cpp:34-125,174-234 via
@@ -530,7 +586,7 @@ object RelationalQueries {
         .when($c("v_nr") <= $c("v_fr"), $c("m_nr"))
         .otherwise($c("m_fr")))
     d.select($c("doc_id"), $c("heff"), round($c("kwa"), 4).as("kwa"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   /** Two-sector Kuwahara baseline (kuwaharaFilter.cpp:138-172 reduced to
@@ -547,7 +603,7 @@ object RelationalQueries {
       .withColumn("rs", coalesce(stddev_pop($c("n_chars")).over(rw), lit(0.0)))
       .select($c("doc_id"),
         round(when($c("ls") <= $c("rs"), $c("lm")).otherwise($c("rm")), 4).as("kw"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
   }
 
   /** basicDeblur unsharp mask (basicDeblur.cpp:33-70): x + λ(x - wmean). */
@@ -556,14 +612,14 @@ object RelationalQueries {
       .withColumn("m", avg($c("n_chars")).over(winW))
       .select($c("doc_id"),
         round($c("n_chars") + lit(0.5) * ($c("n_chars") - $c("m")), 4).as("sharp"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   /** MatToLocalVarianceMap (imageLibCommon.cpp:397-466): local variance map. */
   def qVarianceMap(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("v", coalesce(var_pop($c("n_chars")).over(winW), lit(0.0)))
       .select($c("doc_id"), round(greatest($c("v"), lit(0.01)), 4).as("varmap"))
-      .orderBy("doc_id")
+      .orderedFused("doc_id")
 
   /** Guo-Hall-profile skeleton normalization (thinGuoHall.cpp:56-108). */
   def qSkeleton(spark: SparkSession, dir: String): DataFrame =
@@ -572,7 +628,7 @@ object RelationalQueries {
         regexp_replace(lower($c("text")), "[^a-z0-9 ]", " "), " +", " ")))
       .select($c("doc_id"), length($c("skel")).as("skel_len"),
         substring($c("skel"), 1, 40).as("skel_head"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
 
   /** SimHash (16-bit) over word md5s — near-dup fingerprinting. */
   def qSimHash(spark: SparkSession, dir: String): DataFrame = {
@@ -586,7 +642,7 @@ object RelationalQueries {
     val sim = (0 until 16).map { b =>
       when($c(s"s$b") > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    agg.select($c("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    agg.select($c("doc_id"), sim.as("simhash")).orderedFused("doc_id")
   }
 
   /** Rolling polynomial fingerprint of the first 40 chars
@@ -599,7 +655,7 @@ object RelationalQueries {
       .select($c("doc_id"),
         aggregate($c("chars"), lit(7L),
           (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fp"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
 
   /** Cross-document template chrome (cleanBackgroundToWhite.cpp:40-65
     * analogue, graft.ops.TemplateChrome): units recurring in >= 80% of a
@@ -611,7 +667,7 @@ object RelationalQueries {
       docs(spark, dir).withColumn("units", split($c("text"), " ")),
       "source", "doc_id", "units", minDocs = 2, minFrac = 0.8)
       .select($c("source"), $c("unit"), $c("n_docs").cast("long").as("n_docs"))
-      .orderBy("source", "unit")
+      .orderedFused("source", "unit")
 
   /** Strip pass of the same operator: per-doc token counts before/after
     * chrome removal (zero-shuffle HOF filter against the broadcast set).
@@ -623,7 +679,7 @@ object RelationalQueries {
       .select($c("doc_id"),
         size($c("units")).cast("long").as("n_before"),
         size($c("units_clean")).cast("long").as("n_after"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
 
   /** Sessionization over the events stream (gaps-and-islands, 30-min gap) —
     * the batch twin of a session window.
@@ -637,7 +693,7 @@ object RelationalQueries {
     e.withColumn("sess", sum($c("newsess")).over(uw.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($c("user_id"))
       .agg(max($c("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy("user_id")
+      .orderedFused("user_id")
   }
 
   /** Canonicalization via the NATIVE Catalyst expression (codegen'd,
@@ -651,7 +707,8 @@ object RelationalQueries {
       """SELECT doc_id,
         |  size(split(graft_canon(text), ' ')) AS n_tokens,
         |  substring(graft_canon(text), 1, 60) AS head
-        |FROM graft_docs_tmp ORDER BY doc_id""".stripMargin)
+        |FROM graft_docs_tmp""".stripMargin)
+      .orderedExchanged("doc_id")
   }
 
   /** findAngle's mode computation demonstrated relationally (deskew.cpp:
@@ -673,7 +730,7 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(w))
       .filter($c("rn") === 1)
       .select($c("source"), $c("bucket").as("angle_bucket"), $c("c").as("n_lines"))
-      .orderBy("source")
+      .orderedFused("source")
   }
 
   /** rotate's 90° exact path demonstrated relationally (rotate.cpp:38-57
@@ -694,7 +751,7 @@ object RelationalQueries {
       .withColumn("new_pos",
         ($c("c") * $c("r0") + least($c("c"), $c("cnt") % 4) + $c("r")).cast("int"))
       .select($c("source"), $c("doc_id"), $c("new_pos"))
-      .orderBy("source", "new_pos")
+      .orderedFused("source", "new_pos")
   }
 
   /** Language-ID by char-trigram profile over the frozen 25-language table
@@ -704,20 +761,20 @@ object RelationalQueries {
     graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
       .select($c("doc_id"), graft.ops.TextStats.langId($c("text")).as("lang_pred"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
   }
 
   /** Exact dedup via the library API (graft.ops.Dedup.exact). */
   def qDedupApi(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exact(docs(spark, dir), "doc_id", "text")
       .select($c("doc_id"), when($c("is_canonical"), 1).otherwise(0).as("canonical"))
-      .orderBy("doc_id")
+      .orderedExchanged("doc_id")
 
   /** MinHash-LSH candidate pairs (graft.ops.Dedup.lshCandidates). */
   def qLshPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.lshCandidates(docs(spark, dir).withColumnRenamed("doc_id", "id"),
       "id", "text", bands = 4, rowsPerBand = 2)
-      .orderBy("id_a", "id_b")
+      .orderedFused("id_a", "id_b")
 
   /** IVF-Flat-style ANN (graft.ops.Similarity.ivfTopK): deterministic
     * anchor codebook, HOF cell assignment, probe-cell equi-join.
@@ -727,7 +784,7 @@ object RelationalQueries {
     val q = e.filter($c("vec_id") % 50 === 0)
       .select($c("vec_id").as("qid"), $c("dv").as("qv"))
     graft.ops.Similarity.ivfTopK(q, e, k = 3, anchorEvery = 37, nProbe = 2)
-      .orderBy("qid", "rn")
+      .orderedFused("qid", "rn")
   }
 
   /** Embedding-cosine near-dup pairs (graft.ops.Similarity.cosineNearDupPairs)
@@ -737,7 +794,7 @@ object RelationalQueries {
     graft.ops.Similarity.cosineNearDupPairs(
       emb(spark, dir).select($c("vec_id"), $c("embedding").cast("array<double>").as("dv")),
       "vec_id", "dv", threshold = 0.35, nPlanes = 2)
-      .orderBy("id_a", "id_b")
+      .orderedExchanged("id_a", "id_b")
 
   /** Bucketed ANN via the library API (LSH sign buckets, exact within
     * bucket) — the 100 TB similarity-search shape.
@@ -746,8 +803,14 @@ object RelationalQueries {
     val e = emb(spark, dir).select($c("vec_id"), $c("embedding").cast("array<double>").as("dv"))
     val q = e.filter($c("vec_id") % 50 === 0)
       .select($c("vec_id").as("qid"), $c("dv").as("qv"))
-    graft.ops.Similarity.bucketedTopK(q, e, k = 3, nPlanes = 2)
-      .orderBy("qid", "rn")
+    // r6: broadcast the probe side (tiny by construction — the 2% query
+    // sample) so neither side shuffles for the bucket join (guide §3.1);
+    // repartition the corpus side off the single-row-group scan (guide
+    // §2.5 unsplittable input — bucket hashing + in-bucket scoring ran as
+    // one 270 ms task otherwise), sized by defaultParallelism.
+    val corpus = e.repartition(spark.sparkContext.defaultParallelism)
+    graft.ops.Similarity.bucketedTopK(broadcast(q), corpus, k = 3, nPlanes = 2)
+      .orderedFused("qid", "rn")
   }
 
   // ------------------------------------------------ events (time windows)
@@ -757,5 +820,5 @@ object RelationalQueries {
       .withColumn("hour_bucket", floor(unix_timestamp($c("ts")) / 3600).cast("long"))
       .groupBy($c("event_type"), $c("hour_bucket"))
       .agg(count(lit(1)).as("n"), round(sum($c("value")), 2).as("sum_value"))
-      .orderBy("event_type", "hour_bucket")
+      .orderedFused("event_type", "hour_bucket")
 }

@@ -1,6 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.util.CollectionAccumulator
 import org.apache.spark.TaskContext
 import graft.core._
@@ -33,15 +34,24 @@ object ExtractJob {
     val spark = pages.sparkSession
     import spark.implicits._
     val acc = lineageAcc
-    pages.mapPartitions { rows =>
+    // r6 (guide §2.3/§6 "project before the opaque operation"): extraction
+    // reads ONLY url + html, but a typed mapPartitions over PageRow is
+    // opaque to Catalyst, so without this select the scan decodes all five
+    // columns — including the `text` sidecar string the bench corpus
+    // carries, which was decompressed + materialized as a java String per
+    // row and thrown away. The explicit projection pushes the pruning into
+    // the parquet scan (ReadSchema: url, html — verified in
+    // plans/r06/extract_agg_after.txt).
+    pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       var docCount = 0L
       var htmlBytes = 0L
       var textBytes = 0L
       var quarantined = 0L
       val t0 = System.nanoTime()
-      val out = rows.map { row =>
-        val doc = Extract(row, cfg)
+      val out = rows.map { case (url, html) =>
+        val doc = Extract(PageRow(url, null, html, null, null), cfg)
         docCount += 1
         htmlBytes += doc.stats.htmlBytes
         textBytes += doc.extracted_text.length.toLong
