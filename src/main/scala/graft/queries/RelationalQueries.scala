@@ -437,16 +437,15 @@ object RelationalQueries {
     // the exchange carries only 4 digests/doc. Kept the codegen shape; only
     // the final ORDER BY is restructured (orderedFused).
     //
-    // The testdata table is ONE parquet row group — an unsplittable input
-    // (guide §2.5), so the explode + 4×md5/token partial aggregation ran as
-    // a single 290 ms task while 31 cores idled. Repartition right after
-    // the read (guide §2.5's prescribed fix), sized by defaultParallelism
-    // (scale-adaptive, never a constant; explicit N so AQE's coalescing
-    // does not undo it). At real scale the scan has natural splits and the
-    // shuffled bytes here are just the raw text column.
-    val para = spark.sparkContext.defaultParallelism
+    // Also tried and REJECTED by measurement (r6): repartitioning after the
+    // single-row-group scan to parallelize the explode/md5 work (guide
+    // §2.5's unsplittable-input fix). At this table size the md5 work is
+    // ~290 ms total, and both variants lost: round-robin repartition(32)
+    // inflated summed task CPU 6-8x (0.3 -> 1.5-2.0 CPU-s steady-state,
+    // MinhashVariants probe) for no wall gain, and hash-repartition by
+    // doc_id doubled wall via the extra exchange. The single partial-agg
+    // scan task stays the right plan until the input has real splits.
     val words = docs(spark, dir)
-      .repartition(para)
       .select($c("doc_id"), explode(array_distinct(split($c("text"), " "))).as("w"))
     words.groupBy($c("doc_id"))
       .agg(
@@ -804,12 +803,12 @@ object RelationalQueries {
     val q = e.filter($c("vec_id") % 50 === 0)
       .select($c("vec_id").as("qid"), $c("dv").as("qv"))
     // r6: broadcast the probe side (tiny by construction — the 2% query
-    // sample) so neither side shuffles for the bucket join (guide §3.1);
-    // repartition the corpus side off the single-row-group scan (guide
-    // §2.5 unsplittable input — bucket hashing + in-bucket scoring ran as
-    // one 270 ms task otherwise), sized by defaultParallelism.
-    val corpus = e.repartition(spark.sparkContext.defaultParallelism)
-    graft.ops.Similarity.bucketedTopK(broadcast(q), corpus, k = 3, nPlanes = 2)
+    // sample) so neither side shuffles for the bucket join (guide §3.1).
+    // A corpus-side repartition off the single-row-group scan was tried
+    // (guide §2.5) and rejected by measurement: at 5k vectors the extra
+    // exchange cost more than the 270 ms serial bucket+score task it
+    // parallelized, and round-robin inflated summed task CPU ~10x.
+    graft.ops.Similarity.bucketedTopK(broadcast(q), e, k = 3, nPlanes = 2)
       .orderedFused("qid", "rn")
   }
 
