@@ -247,7 +247,7 @@ object PipelineQueries {
     * documented stub. Oracle = the closed-form arithmetic of the fixture.
     */
   def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val d = RelationalQueries.tbl(spark, s"$dir/documents.parquet").select(col("doc_id"))
     import spark.implicits._
     d.as[Long].map { id =>
       val png = graft.ops.Multimodal.fakePng(
@@ -267,7 +267,7 @@ object PipelineQueries {
     * SQL — byte-exact only if the codec roundtrip is lossless.
     */
   def qMultimodalPixels(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val d = RelationalQueries.tbl(spark, s"$dir/documents.parquet").select(col("doc_id"))
     import spark.implicits._
     d.as[Long].map { id =>
       val w = (8 + id % 8).toInt
@@ -290,7 +290,7 @@ object PipelineQueries {
     * oracle recomputes the sample arithmetic in SQL.
     */
   def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val d = RelationalQueries.tbl(spark, s"$dir/documents.parquet").select(col("doc_id"))
     import spark.implicits._
     d.as[Long].map { id =>
       val n = (200 + id % 100).toInt
@@ -311,7 +311,7 @@ object PipelineQueries {
     * oracle the video family admits.
     */
   def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val d = RelationalQueries.tbl(spark, s"$dir/documents.parquet").select(col("doc_id"))
     import spark.implicits._
     d.as[Long].flatMap { id =>
       val w = (8 + id % 8).toInt

@@ -21,10 +21,22 @@ import org.apache.spark.sql.expressions.Window
   */
 object RelationalQueries {
 
+  // r6: one `spark.read.parquet(path)` costs ~80 ms WARM — schema inference
+  // re-reads the footer on every call, and every query pays it 1-2×.
+  // Memoize the INFERRED SCHEMA per (session, path) and hand it back via
+  // `.schema(...)`, which skips inference entirely. This caches metadata
+  // only — every action still scans the parquet data; the schema is read
+  // from the same file on first touch per JVM, so results cannot drift.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private[queries] def tbl(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    tbl(spark, s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    tbl(spark, s"$dir/embeddings.parquet")
 
   // ---------------------------------------------------------------------
   // Final deterministic ORDER BY, minus the range exchange (r6, guide §2.4:
@@ -64,9 +76,15 @@ object RelationalQueries {
   private val winW = seqW.rowsBetween(-5, 5)
   private val srcW = Window.partitionBy("source")
 
+  // r6: ONE select instead of two withColumns — every DataFrame
+  // transformation runs the analyzer eagerly over the whole accumulated
+  // plan, and chain-building measured 120-150 ms per window query (PlanCost
+  // probe); identical logical result (CollapseProject produces the same
+  // optimized plan either way).
   private def withStats(d: DataFrame): DataFrame =
-    d.withColumn("m", avg($c("n_chars")).over(winW))
-      .withColumn("s", coalesce(stddev_pop($c("n_chars")).over(winW), lit(0.0)))
+    d.select(col("*"),
+      avg($c("n_chars")).over(winW).as("m"),
+      coalesce(stddev_pop($c("n_chars")).over(winW), lit(0.0)).as("s"))
   private def $c(n: String) = col(n)
 
   // ---------------------------------------------------------- §2.2 windows
@@ -78,34 +96,38 @@ object RelationalQueries {
 
   // ------------------------------------------------- §2.3 classifier family
 
-  def qSauvola(spark: SparkSession, dir: String): DataFrame =
+  def qSauvola(spark: SparkSession, dir: String): DataFrame = {
+    val thr = round($c("m") * (lit(1.0) + lit(0.2) * ($c("s") / lit(128.0) - lit(1.0))), 4)
     withStats(docs(spark, dir))
-      .withColumn("thr", round($c("m") * (lit(1.0) + lit(0.2) * ($c("s") / lit(128.0) - lit(1.0))), 4))
-      .select($c("doc_id"), $c("thr"),
-        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .select($c("doc_id"), thr.as("thr"),
+        when($c("n_chars") > thr, 1).otherwise(0).as("keep"))
       .orderedFused("doc_id")
+  }
 
-  def qNiblack(spark: SparkSession, dir: String): DataFrame =
+  def qNiblack(spark: SparkSession, dir: String): DataFrame = {
+    val thr = round($c("m") + lit(0.2) * $c("s"), 4)
     withStats(docs(spark, dir))
-      .withColumn("thr", round($c("m") + lit(0.2) * $c("s"), 4))
-      .select($c("doc_id"), $c("thr"),
-        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .select($c("doc_id"), thr.as("thr"),
+        when($c("n_chars") > thr, 1).otherwise(0).as("keep"))
       .orderedFused("doc_id")
+  }
 
-  def qNick(spark: SparkSession, dir: String): DataFrame =
+  def qNick(spark: SparkSession, dir: String): DataFrame = {
+    val thr = round($c("m") - lit(0.1) * sqrt($c("m") * $c("m") + $c("s") * $c("s")), 4)
     withStats(docs(spark, dir))
-      .withColumn("thr", round($c("m") - lit(0.1) * sqrt($c("m") * $c("m") + $c("s") * $c("s")), 4))
-      .select($c("doc_id"), $c("thr"),
-        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .select($c("doc_id"), thr.as("thr"),
+        when($c("n_chars") > thr, 1).otherwise(0).as("keep"))
       .orderedFused("doc_id")
+  }
 
-  def qWolfJolion(spark: SparkSession, dir: String): DataFrame =
+  def qWolfJolion(spark: SparkSession, dir: String): DataFrame = {
+    val smax = greatest(max($c("s")).over(srcW), lit(1e-9))
+    val mn = min($c("n_chars")).over(srcW)
     withStats(docs(spark, dir))
-      .withColumn("smax", greatest(max($c("s")).over(srcW), lit(1e-9)))
-      .withColumn("mn", min($c("n_chars")).over(srcW))
-      .withColumn("thr", round($c("m") + lit(0.5) * ($c("s") / $c("smax") - lit(1.0)) * ($c("m") - $c("mn")), 4))
-      .select($c("doc_id"), $c("thr"))
+      .select($c("doc_id"),
+        round($c("m") + lit(0.5) * ($c("s") / smax - lit(1.0)) * ($c("m") - mn), 4).as("thr"))
       .orderedFused("doc_id")
+  }
 
   def qFeng(spark: SparkSession, dir: String): DataFrame = {
     val d = withStats(docs(spark, dir))
@@ -120,12 +142,13 @@ object RelationalQueries {
       .orderedFused("doc_id")
   }
 
-  def qMeanAdaptive(spark: SparkSession, dir: String): DataFrame =
+  def qMeanAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val thr = round($c("m") - lit(10.0), 4)
     withStats(docs(spark, dir))
-      .withColumn("thr", round($c("m") - lit(10.0), 4))
-      .select($c("doc_id"), $c("thr"),
-        when($c("n_chars") > $c("thr"), 1).otherwise(0).as("keep"))
+      .select($c("doc_id"), thr.as("thr"),
+        when($c("n_chars") > thr, 1).otherwise(0).as("keep"))
       .orderedFused("doc_id")
+  }
 
   def qGaussAdaptive(spark: SparkSession, dir: String): DataFrame = {
     // 5-tap gaussian [.0545,.2442,.4026,.2442,.0545], border-replicate
@@ -174,18 +197,21 @@ object RelationalQueries {
     // per-source Otsu over a 32-bin histogram (binarizeLocalOtsu per-region
     // THRESH_OTSU, here region = source group)
     val d = docs(spark, dir)
-      .withColumn("mn", min($c("n_chars")).over(srcW))
-      .withColumn("mx", max($c("n_chars")).over(srcW))
+      .select(col("*"),
+        min($c("n_chars")).over(srcW).as("mn"),
+        max($c("n_chars")).over(srcW).as("mx"))
       .withColumn("bin", least(
         floor(($c("n_chars") - $c("mn")) * lit(32.0) / greatest($c("mx") - $c("mn"), lit(1))).cast("int"),
         lit(31)))
     val h = d.groupBy($c("source"), $c("bin")).agg(count(lit(1)).as("c"))
-      .withColumn("tot", sum($c("c")).over(srcW))
-      .withColumn("sumAll", sum($c("bin") * $c("c")).over(srcW))
+      .select(col("*"),
+        sum($c("c")).over(srcW).as("tot"),
+        sum($c("bin") * $c("c")).over(srcW).as("sumAll"))
     val binW = Window.partitionBy("source").orderBy("bin")
     val cum = h
-      .withColumn("wB", sum($c("c")).over(binW.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("sumB", sum($c("bin") * $c("c")).over(binW.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("*"),
+        sum($c("c")).over(binW.rowsBetween(Window.unboundedPreceding, 0)).as("wB"),
+        sum($c("bin") * $c("c")).over(binW.rowsBetween(Window.unboundedPreceding, 0)).as("sumB"))
       .filter($c("wB") > 0 && $c("wB") < $c("tot"))
       .withColumn("diff",
         $c("sumB") * lit(1.0) / $c("wB") -
@@ -376,8 +402,8 @@ object RelationalQueries {
   // ------------------------------------------------ §2.9 joins / agg / topk
 
   def qGoldenJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = tbl(spark, s"$dir/orders.parquet")
+    val c = tbl(spark, s"$dir/customer.parquet")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy($c("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("n"), min($c("o_orderkey")).as("min_ok"), max($c("o_orderkey")).as("max_ok"))
@@ -385,15 +411,15 @@ object RelationalQueries {
   }
 
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = tbl(spark, s"$dir/orders.parquet")
+    val c = tbl(spark, s"$dir/customer.parquet")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select($c("c_custkey")).orderedExchanged("c_custkey")
   }
 
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = tbl(spark, s"$dir/orders.parquet")
+    val c = tbl(spark, s"$dir/customer.parquet")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .groupBy($c("c_mktsegment").as("seg")).agg(count(lit(1)).as("n"))
       .orderedFused("seg")
@@ -685,7 +711,7 @@ object RelationalQueries {
     */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val uw = Window.partitionBy("user_id").orderBy($c("ts"), $c("event_id"))
-    val e = spark.read.parquet(s"$dir/events.parquet")
+    val e = tbl(spark, s"$dir/events.parquet")
       .withColumn("prev", lag(unix_timestamp($c("ts")), 1).over(uw))
       .withColumn("newsess",
         when($c("prev").isNull || unix_timestamp($c("ts")) - $c("prev") > 1800, 1).otherwise(0))
@@ -815,7 +841,7 @@ object RelationalQueries {
   // ------------------------------------------------ events (time windows)
 
   def qEventWindows(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    tbl(spark, s"$dir/events.parquet")
       .withColumn("hour_bucket", floor(unix_timestamp($c("ts")) / 3600).cast("long"))
       .groupBy($c("event_type"), $c("hour_bucket"))
       .agg(count(lit(1)).as("n"), round(sum($c("value")), 2).as("sum_value"))

@@ -76,11 +76,13 @@ object BenchExtra {
       val walls = mutable.ArrayBuffer.empty[Double]
       val plans = mutable.ArrayBuffer.empty[Double]
       var lastJobs: Seq[JobRec] = Nil
+      var lastDf: org.apache.spark.sql.DataFrame = null
       (0 until passes).foreach { p =>
         meter.reset()
         spark.sparkContext.setJobDescription(s"$name pass$p")
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
+        lastDf = df
         df.queryExecution.executedPlan // force analysis + optimization + planning
         val t1 = System.nanoTime()
         df.collect()
@@ -93,6 +95,11 @@ object BenchExtra {
       val w = walls.map(x => f"$x%.3f").mkString(" ")
       val pl = plans.map(x => f"$x%.3f").mkString(" ")
       println(f"EXTRA $name%-16s walls=[$w] best=${walls.min}%.3f plan=[$pl]")
+      // last pass's planning phase split (ms): where the plan-time goes
+      val phases = lastDf.queryExecution.tracker.phases
+        .map { case (ph, t) => f"$ph=${(t.endTimeMs - t.startTimeMs)}%d" }
+        .mkString(" ")
+      println(s"      phases(ms): $phases")
       lastJobs.foreach { j =>
         println(f"      job ${j.id}%3d wall=${j.wallMs}%7.1fms stages=${j.stages}%2d tasks=${j.tasks}%4d ${j.desc.take(60)}")
       }
