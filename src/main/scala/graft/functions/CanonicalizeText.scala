@@ -65,5 +65,9 @@ object GraftFunctions {
       "graft_quality_counts", exprs => TextQualityCounts(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_id", exprs => LangIdExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => ArrayDotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_dot", exprs => LshPlaneDot(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -31,8 +31,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "qid", qVec: String = "qv",
       cId: String = "vec_id", cVec: String = "dv"): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val scored = queries.join(corpus, col(cId) =!= col(qId))
-      .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+      .withColumn("score", round(dotN(col(qVec), col(cVec)), 6))
       // project BEFORE the rank exchange (guide §2.3): the window only needs
       // (qId, cId, score) — without this the per-pair shuffle carries both
       // embedding vectors, dim× more bytes than the result needs
@@ -58,6 +59,25 @@ object Similarity {
       when(d > 0, lit(1 << j)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Native codegen twins (graft.functions.ArrayDot) of [[dot]] /
+    * [[lshBucket]]: bit-identical left fold (same IEEE accumulation order)
+    * without interpreted HOF lambdas — Spark evaluates higher-order
+    * functions interpreted, boxing every element and allocating the zipped
+    * array per call, which measured as the dominant cost of the in-bucket
+    * scoring task. Used by the DataFrame entry points below (they carry a
+    * session to register on); the HOF forms stay as the reference
+    * semantics, pinned equal by R6QueryEquivSpec and the oracle queries.
+    */
+  private def dotN(a: Column, b: Column): Column =
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+  private def lshBucketN(vec: Column, nPlanes: Int): Column = {
+    val dv = vec.cast("array<double>")
+    (0 until nPlanes).map { j =>
+      when(call_function("graft_lsh_dot", dv, lit(j * 17)) > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
   }
 
   /** Plane count sized to the corpus: enough sign-hyperplanes that an
@@ -89,12 +109,14 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes out of range: $nPlanes")
-    val b = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val b = corpus.withColumn("bucket", lshBucketN(col(vecCol), nPlanes))
     val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
     val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cos", round(dotN(col("_va"), col("_vb")) /
+        (l2norm(col("_va")) * l2norm(col("_vb"))), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -118,6 +140,7 @@ object Similarity {
       anchorEvery: Int = 37, nProbe: Int = 2,
       qId: String = "qid", qVec: String = "qv",
       cId: String = "vec_id", cVec: String = "dv"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // The codebook is COLLECTED to the driver — deliberately: an IVF
     // codebook is index metadata (like loading a trained quantizer), tiny by
     // design, and collecting it both (a) fails loudly on the
@@ -162,7 +185,7 @@ object Similarity {
       .select(col(qId), col(qVec), col("anchor_id").as("cell"))
     // exact search within probed cells
     val scored = probes.join(cells, Seq("cell")).filter(col(cId) =!= col(qId))
-      .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+      .withColumn("score", round(dotN(col(qVec), col(cVec)), 6))
       // drop both vectors before the rank exchange (guide §2.3)
       .select(col(qId), col(cId), col("score"))
     val w = Window.partitionBy(qId).orderBy(desc("score"), asc(cId))
@@ -179,10 +202,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 4,
       qId: String = "qid", qVec: String = "qv",
       cId: String = "vec_id", cVec: String = "dv"): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col(qVec), nPlanes))
-    val cb = corpus.withColumn("bucket", lshBucket(col(cVec), nPlanes))
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val qb = queries.withColumn("bucket", lshBucketN(col(qVec), nPlanes))
+    val cb = corpus.withColumn("bucket", lshBucketN(col(cVec), nPlanes))
     val scored = qb.join(cb, Seq("bucket")).filter(col(cId) =!= col(qId))
-      .withColumn("score", round(dot(col(qVec), col(cVec)), 6))
+      .withColumn("score", round(dotN(col(qVec), col(cVec)), 6))
       // drop both vectors before the rank exchange (guide §2.3): per
       // candidate pair only (qId, cId, score) ride the qId shuffle
       .select(col(qId), col(cId), col("score"))

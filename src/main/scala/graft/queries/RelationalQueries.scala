@@ -511,13 +511,13 @@ object RelationalQueries {
       .orderedExchanged("vec_id")
 
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = emb(spark, dir).withColumn("dv", $c("embedding").cast("array<double>"))
       .select($c("vec_id"), $c("dv"))
     val q = e.filter($c("vec_id") % 50 === 0)
       .select($c("vec_id").as("qid"), $c("dv").as("qv"))
     val scored = q.join(e, e("vec_id") =!= q("qid"))
-      .withColumn("dot", round(aggregate(zip_with($c("qv"), $c("dv"), (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v), 3))
+      .withColumn("dot", round(call_function("graft_dot", $c("qv"), $c("dv")), 3))
     val pick = Window.partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(pick))
       .filter($c("rn") <= 3)
@@ -532,12 +532,15 @@ object RelationalQueries {
     // variant shuffled N×dim rows to compute the same per-row value
     // (VERDICT r1 "what's wrong" #5); the oracle query must demonstrate the
     // plan a 100 TB run would use.
+    // r6: the plane dot runs as the native codegen expression
+    // (graft.functions.LshPlaneDot) — identical left fold to the HOF
+    // zip_with/aggregate form it replaces (pinned by R6QueryEquivSpec);
+    // interpreted lambda evaluation was the whole cost of this query's
+    // single compute job.
+    graft.functions.GraftFunctions.register(spark)
     val e = emb(spark, dir).withColumn("dv", $c("embedding").cast("array<double>"))
-    def planeDot(off: Int) = round(
-      aggregate(
-        zip_with($c("dv"), sequence(lit(0), size($c("dv")) - 1),
-          (v, pos) => v * ((pos * 37 + lit(off)) % 13 - 6).cast("double")),
-        lit(0.0), (acc, x) => acc + x), 3)
+    def planeDot(off: Int) =
+      round(call_function("graft_lsh_dot", $c("dv"), lit(off)), 3)
     e.select($c("vec_id"), planeDot(0).as("d0"), planeDot(17).as("d1"))
       .select($c("vec_id"),
         (when($c("d0") > 0, 2).otherwise(0) + when($c("d1") > 0, 1).otherwise(0)).as("bucket"))

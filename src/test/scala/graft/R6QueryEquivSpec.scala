@@ -106,6 +106,45 @@ class R6QueryEquivSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oldRows.nonEmpty && oldRows == newRows)
   }
 
+  test("native graft_dot / graft_lsh_dot == HOF zip_with/aggregate fold, bitwise") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // irrational-ish values so accumulation order matters; varied lengths
+    val rows = (0 until 200).map { i =>
+      val n = 1 + i % 9
+      (i.toLong,
+        Array.tabulate(n)(j => math.sin(i * 31 + j) * 1e3),
+        Array.tabulate(n)(j => math.cos(i * 17 + j * 3) * 1e-2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _)
+    val hofPlane = aggregate(
+      zip_with(col("a"), sequence(lit(0), size(col("a")) - 1),
+        (v, pos) => v * ((pos * 37 + lit(17)) % 13 - 6).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val out = df.select(
+      hofDot.as("hd"), call_function("graft_dot", col("a"), col("b")).as("nd"),
+      hofPlane.as("hp"), call_function("graft_lsh_dot", col("a"), lit(17)).as("np"))
+      .collect()
+    out.foreach { r =>
+      // bitwise: the native fold must reproduce the exact IEEE sequence
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+    // null-element and length-mismatch semantics mirror zip_with padding
+    val corner = Seq(
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)),
+      (Array[java.lang.Double](1.0), Array[java.lang.Double](2.0, 3.0))
+    ).toDF("a", "b")
+      .select(
+        aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("hd"),
+        call_function("graft_dot", col("a"), col("b")).as("nd"))
+      .collect()
+    corner.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("fused/exchanged single-partition sort == orderBy, multi-partition input") {
     import spark.implicits._
     import RelationalQueries.OrderedOps
