@@ -69,5 +69,7 @@ object GraftFunctions {
       "graft_dot", exprs => ArrayDotProduct(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_dot", exprs => LshPlaneDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash4", exprs => MinHash4(exprs.head), "scala_udf")
   }
 }

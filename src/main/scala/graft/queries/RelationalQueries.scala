@@ -461,26 +461,31 @@ object RelationalQueries {
     // higher-order-function lambdas evaluate interpreted, while explode +
     // min() partial aggregation runs whole-stage-codegen'd and map-side —
     // the exchange carries only 4 digests/doc. Kept the codegen shape; only
-    // the final ORDER BY is restructured (orderedFused).
+    // the final ORDER BY is restructured (orderedFused), and the whole
+    // explode + 4-way min() aggregation runs as ONE native codegen pass
+    // (graft.functions.MinHash4): min over the token multiset == min over
+    // the distinct set, digest/scratch buffers are thread-local, and only
+    // the four final minima are hex-encoded. Semantically identical —
+    // R6QueryEquivSpec pins it against the explode+groupBy formulation
+    // (incl. empty/duplicate/multi-space token corners) and the DuckDB
+    // oracle replays the aggregation form. The isNotNull filter mirrors
+    // explode's null-array row-drop; the scan shape becomes a pure narrow
+    // map with no exchange at all (the 100 TB signature shape —
+    // Dedup.minhashSignature's plan, now at native speed).
     //
     // Also tried and REJECTED by measurement (r6): repartitioning after the
-    // single-row-group scan to parallelize the explode/md5 work (guide
-    // §2.5's unsplittable-input fix). At this table size the md5 work is
-    // ~290 ms total, and both variants lost: round-robin repartition(32)
-    // inflated summed task CPU 6-8x (0.3 -> 1.5-2.0 CPU-s steady-state,
-    // MinhashVariants probe) for no wall gain, and hash-repartition by
-    // doc_id doubled wall via the extra exchange. The single partial-agg
-    // scan task stays the right plan until the input has real splits.
-    val words = docs(spark, dir)
-      .select($c("doc_id"), explode(array_distinct(split($c("text"), " "))).as("w"))
-    words.groupBy($c("doc_id"))
-      .agg(
-        min(md5(concat($c("w"), lit("#0")).cast("binary"))).as("m0"),
-        min(md5(concat($c("w"), lit("#1")).cast("binary"))).as("m1"),
-        min(md5(concat($c("w"), lit("#2")).cast("binary"))).as("m2"),
-        min(md5(concat($c("w"), lit("#3")).cast("binary"))).as("m3"))
+    // single-row-group scan to parallelize the md5 work (guide §2.5) —
+    // round-robin inflated summed task CPU 6-8x for no wall gain;
+    // hash-by-key doubled wall via the extra exchange.
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .filter($c("text").isNotNull)
+      .select($c("doc_id"), call_function("graft_minhash4", $c("text")).as("_mh"))
+      .select($c("doc_id"),
+        element_at($c("_mh"), 1).as("m0"), element_at($c("_mh"), 2).as("m1"),
+        element_at($c("_mh"), 3).as("m2"), element_at($c("_mh"), 4).as("m3"))
       .withColumn("band", concat(substring($c("m0"), 1, 4), substring($c("m1"), 1, 4)))
-      .orderedFused("doc_id")
+      .orderedExchanged("doc_id")
   }
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {

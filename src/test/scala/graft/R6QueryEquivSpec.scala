@@ -106,6 +106,39 @@ class R6QueryEquivSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oldRows.nonEmpty && oldRows == newRows)
   }
 
+  test("native graft_minhash4 == explode + 4-way min(md5) aggregation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // corners: duplicate tokens, double/leading/trailing spaces (empty
+    // fields — Spark split keeps them), empty text, unicode tokens, a
+    // single token, and long tokens past the scratch growth threshold
+    val rows = Seq(
+      (1L, "a b c a b"),
+      (2L, "  leading and  double  spaces "),
+      (3L, ""),
+      (4L, "żółć 白菜 emoji nbspjoined"),
+      (5L, "single"),
+      (6L, "x" * 700 + " y " + "z" * 300),
+      (7L, "a"), (8L, "b a"), (9L, "#0 #1 # 0 1")
+    ).toDF("doc_id", "text")
+    val viaAgg = rows
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(col("w"), lit("#0")).cast("binary"))).as("m0"),
+        min(md5(concat(col("w"), lit("#1")).cast("binary"))).as("m1"),
+        min(md5(concat(col("w"), lit("#2")).cast("binary"))).as("m2"),
+        min(md5(concat(col("w"), lit("#3")).cast("binary"))).as("m3"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaNative = rows
+      .select(col("doc_id"), call_function("graft_minhash4", col("text")).as("_mh"))
+      .select(col("doc_id"),
+        element_at(col("_mh"), 1).as("m0"), element_at(col("_mh"), 2).as("m1"),
+        element_at(col("_mh"), 3).as("m2"), element_at(col("_mh"), 4).as("m3"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaAgg.size == 9 && viaNative == viaAgg)
+  }
+
   test("native graft_dot / graft_lsh_dot == HOF zip_with/aggregate fold, bitwise") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
