@@ -807,7 +807,13 @@ object RelationalQueries {
   def qLshPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.lshCandidates(docs(spark, dir).withColumnRenamed("doc_id", "id"),
       "id", "text", bands = 4, rowsPerBand = 2)
-      .orderedFused("id_a", "id_b")
+      // r6 NOTE: deliberately NOT orderedFused — the candidate-pair output
+      // grows superlinearly with the corpus (9.3M rows at sf0.1), so the
+      // single-task fused sort would serialize a real sort. The orderBy's
+      // sampling child here is the materialized distinct exchange (no
+      // narrow-chain double-execution), so the parallel range sort is the
+      // right plan at every scale.
+      .orderBy("id_a", "id_b")
 
   /** IVF-Flat-style ANN (graft.ops.Similarity.ivfTopK): deterministic
     * anchor codebook, HOF cell assignment, probe-cell equi-join.
