@@ -48,8 +48,16 @@ object PageSource {
   private def generate(spark: SparkSession, n: Long, partitions: Int)(
       gen: Long => PageRow): Dataset[PageRow] = {
     import spark.implicits._
+    // r6: partition count scales with n instead of a flat 2×cores — the
+    // fixture-corpus queries (140–400 docs) were running 64 tasks of ~6
+    // docs each, pure scheduling overhead (guide §6 task-count reasoning).
+    // ≥16 docs/task amortizes task setup; the 2×cores cap keeps large
+    // corpora (the bench input generation) at the old parallelism. Results
+    // are partitioning-invariant by construction (per-row determinism —
+    // the documented property this source exists to provide).
     val parts = if (partitions > 0) partitions
-    else spark.sparkContext.defaultParallelism * 2
+    else math.min(spark.sparkContext.defaultParallelism * 2,
+      math.max(4, ((n + 15) / 16).toInt))
     spark.range(0L, n, 1L, parts).mapPartitions(ids => ids.map(id => gen(id)))
   }
 }
